@@ -1,0 +1,202 @@
+"""HBM-resident sharded flat MIPS index.
+
+TPU-native replacement for the reference's ``DistributedIndex``
+(reference: src/index.py:44-161): there, each rank holds a ``(dim, N_local)``
+fp16 GPU tensor and distributed search is
+all_gather(queries) -> local matmul+topk -> route results -> merge-topk, with
+passage dicts pickled through NCCL (src/index.py:34-41) — an anti-pattern we
+deliberately do not reproduce. Here:
+
+- the passage-embedding matrix is ONE logical ``jax.Array`` of shape (N, d),
+  row-sharded over every device of the mesh (both ``data`` and ``index`` axes);
+- search runs under ``shard_map``: each device computes a fused MIPS top-k on
+  its shard (Pallas kernel on TPU), then a single ``all_gather`` of the tiny
+  (B, k) candidate lists over ICI and an on-device top-k-of-top-k merge;
+- only int32 *global passage ids* leave the device program; id -> passage text
+  resolution is host-side (see ``jsa_rag_tpu.data.passages``).
+
+The index is mutable in place (``update_shard``) so the training loop can
+re-embed the corpus with live retriever weights and refresh shards without
+leaving the program (reference punts this to an HTTP/gRPC server:
+build_server/server_start.py, src/post.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import mips
+from ..parallel.mesh import AXES
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _search_one_shard(q, emb_shard, *, k, n_true, shard_rows, n_padded,
+                      method, axes):
+    """Per-device body under shard_map. q is replicated (B, d); emb_shard is
+    this device's (shard_rows, d) block of the global (N_pad, d) matrix.
+
+    Padding rows (global id >= n_true) are zero vectors; they score 0 and can
+    displace valid negative-score candidates from a shard's local top-k, so
+    the local k is widened by the worst-case per-shard pad count before the
+    post-hoc mask — this keeps the merged global top-k exact.
+    """
+    max_pads = min(shard_rows, n_padded - n_true)
+    k_local = min(shard_rows, k + max_pads)
+    scores, local_idx = mips.mips_topk(q, emb_shard, k_local, method=method)
+    # flat position of this device's shard among all index shards
+    shard_pos = jax.lax.axis_index(axes)
+    gidx = local_idx + shard_pos * shard_rows
+    scores = jnp.where((gidx >= 0) & (gidx < n_true), scores, NEG_INF)
+    # gather every device's k_local candidates and merge: (B, W*k_local)
+    all_s = jax.lax.all_gather(scores, axes, axis=1, tiled=True)
+    all_i = jax.lax.all_gather(gidx, axes, axis=1, tiled=True)
+    v, a = jax.lax.top_k(all_s, k)
+    return v, jnp.take_along_axis(all_i, a, axis=1)
+
+
+class ShardedFlatIndex:
+    """Exact (flat) sharded MIPS index over a device mesh.
+
+    Embeddings are stored bf16 by default (reference uses fp16 on GPU,
+    src/index.py:52); scores are always accumulated in f32.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        n_passages: int,
+        dim: int,
+        dtype=jnp.bfloat16,
+        method: mips.Method = "auto",
+    ):
+        self.mesh = mesh
+        self.dim = dim
+        self.dtype = dtype
+        self.method = method
+        self.n_passages = n_passages
+        self.n_shards = mesh.devices.size
+        self.shard_rows = int(
+            math.ceil(n_passages / self.n_shards / 8) * 8
+        )
+        self.n_padded = self.shard_rows * self.n_shards
+        self.sharding = NamedSharding(mesh, P(AXES.all, None))
+        self.embeddings = jax.device_put(
+            jnp.zeros((self.n_padded, dim), dtype=dtype), self.sharding
+        )
+        self._search_fn = None
+
+    # ------------------------------------------------------------------ build
+    def set_embeddings(self, start: int, block: jax.Array | np.ndarray) -> None:
+        """Write rows [start, start+len(block)) of the global matrix.
+
+        Used by the (re)build pipeline: the embed step produces blocks in
+        global row order; ``jax.jit`` + donation keeps this a pure device-side
+        dynamic_update_slice per shard (reference analogue:
+        src/rag.py:118-121 writing ``index.embeddings[:, a:b]``).
+        """
+        block = jnp.asarray(block, dtype=self.dtype)
+        self.embeddings = _update_rows(
+            self.embeddings, block, start, self.sharding
+        )
+
+    # ----------------------------------------------------------------- search
+    def search(self, queries: jax.Array, k: int):
+        """Top-k over the full sharded corpus.
+
+        queries: (B, d) on any device/sharding (will be replicated).
+        Returns (scores (B, k) f32, global ids (B, k) int32), both replicated.
+        """
+        k = min(k, self.n_passages)
+        fn = self._get_search_fn(k)
+        q = jnp.asarray(queries, jnp.float32)
+        return fn(q, self.embeddings)
+
+    def _get_search_fn(self, k: int):
+        key = (k, self.n_passages)
+        if self._search_fn is None or self._search_fn[0] != key:
+            body = functools.partial(
+                _search_one_shard,
+                k=k,
+                n_true=self.n_passages,
+                shard_rows=self.shard_rows,
+                n_padded=self.n_padded,
+                method=self.method,
+                axes=AXES.all,
+            )
+            mapped = shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(), P(AXES.all, None)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            self._search_fn = (key, jax.jit(mapped))
+        return self._search_fn[1]
+
+    # --------------------------------------------------------------- save/load
+    def save(self, path: str, n_files: int = 16) -> None:
+        """Save embeddings in ``n_files`` numpy shards + a meta json.
+
+        Mirrors the reference's ``save_index`` sharded-file format contract
+        (src/index.py:62-88): reloadable under any worker count dividing the
+        shard count.
+        """
+        os.makedirs(path, exist_ok=True)
+        host = np.asarray(jax.device_get(self.embeddings))[: self.n_passages]
+        rows = np.array_split(host, n_files, axis=0)
+        for i, r in enumerate(rows):
+            np.save(os.path.join(path, f"embeddings.{i}.npy"), r)
+        meta = {
+            "n_passages": self.n_passages,
+            "dim": self.dim,
+            "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
+            "n_files": n_files,
+            "kind": "flat",
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, method: mips.Method = "auto"):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(
+            mesh,
+            meta["n_passages"],
+            meta["dim"],
+            dtype=jnp.dtype(meta["dtype"]),
+            method=method,
+        )
+        start = 0
+        for i in range(meta["n_files"]):
+            block = np.load(os.path.join(path, f"embeddings.{i}.npy"))
+            idx.set_embeddings(start, block)
+            start += block.shape[0]
+        assert start == meta["n_passages"]
+        return idx
+
+    def iter_shard_bounds(self) -> Iterator[tuple[int, int]]:
+        for s in range(self.n_shards):
+            lo = s * self.shard_rows
+            hi = min((s + 1) * self.shard_rows, self.n_passages)
+            if lo < hi:
+                yield lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("sharding",), donate_argnums=(0,))
+def _update_rows(emb, block, start, sharding):
+    out = jax.lax.dynamic_update_slice(
+        emb, block, (start, jnp.int32(0))
+    )
+    return jax.lax.with_sharding_constraint(out, sharding)

@@ -1,0 +1,188 @@
+"""Maximum-inner-product search (MIPS) kernels: score + k-select, fused.
+
+This is the TPU-native replacement for the reference's FAISS GpuIndexFlatIP /
+``torch.matmul + torch.topk`` search (reference: src/index.py:118-119,
+build_server/index.py). Design goals:
+
+- never materialize the full (B, N) score matrix — stream over N in chunks;
+- keep the dot products on the MXU (large bf16 matmuls);
+- keep a running (B, k) top-k carried through a ``lax.scan`` (XLA paths) or a
+  VMEM scratch accumulator (Pallas path, see ``mips_pallas.py``).
+
+Three implementations behind one dispatcher:
+
+- ``mips_topk_exact``  — chunked scan + ``lax.top_k`` merge. Exact; the test
+  oracle, and fast enough for small/medium N.
+- ``mips_topk_approx`` — chunked scan + ``lax.approx_max_k`` per chunk (TPU
+  PartialReduce hardware op) + exact (B, 2k) carry merge. Near-exact
+  (recall >= recall_target per chunk) and much faster for large N.
+- ``mips_topk_pallas`` — fused Pallas kernel (matmul + streaming k-select in
+  VMEM), see ``mips_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _pad_rows(emb: jax.Array, multiple: int) -> tuple[jax.Array, int]:
+    """Pad the row (N) dimension of ``emb`` up to a multiple. Returns the
+    padded array and the original row count."""
+    n = emb.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        emb = jnp.pad(emb, ((0, rem), (0, 0)))
+    return emb, n
+
+
+def _chunk_scores(q: jax.Array, e_chunk: jax.Array) -> jax.Array:
+    """(B, d) x (C, d) -> (B, C) inner products in f32 on the MXU."""
+    return jax.lax.dot_general(
+        q,
+        e_chunk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def mips_topk_exact(
+    queries: jax.Array,
+    embeddings: jax.Array,
+    k: int,
+    chunk: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k inner-product search.
+
+    Args:
+      queries: (B, d).
+      embeddings: (N, d). Rows beyond the true corpus should be zero-padded by
+        the caller *and* masked via ``valid_n`` semantics at the index layer;
+        here every row is a candidate.
+      k: number of neighbours.
+      chunk: rows scored per scan step (bounds peak memory at B*chunk f32).
+
+    Returns:
+      (scores (B, k) f32, indices (B, k) int32), sorted descending by score.
+    """
+    b, _ = queries.shape
+    n = embeddings.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, _next_multiple(n, 128))
+    emb, n_true = _pad_rows(embeddings, chunk)
+    n_chunks = emb.shape[0] // chunk
+    emb_c = emb.reshape(n_chunks, chunk, emb.shape[1])
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+
+    def body(carry, args):
+        cs, ci = carry
+        e_chunk, start = args
+        s = _chunk_scores(queries, e_chunk)
+        idx = col + start
+        s = jnp.where(idx < n_true, s, NEG_INF)
+        all_s = jnp.concatenate([cs, s], axis=1)
+        all_i = jnp.concatenate([ci, idx], axis=1)
+        v, a = jax.lax.top_k(all_s, k)
+        return (v, jnp.take_along_axis(all_i, a, axis=1)), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = jax.lax.scan(body, init, (emb_c, starts))
+    return scores, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "recall_target")
+)
+def mips_topk_approx(
+    queries: jax.Array,
+    embeddings: jax.Array,
+    k: int,
+    chunk: int = 262144,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    """Near-exact top-k using the TPU's hardware partial-reduce top-k
+    (``lax.approx_max_k``) per chunk, then an exact (B, 2k) merge per step.
+
+    Per-chunk recall >= ``recall_target``; end-to-end recall is at least that
+    (elements lost per chunk are only those straddling the approx boundary).
+    """
+    b, _ = queries.shape
+    n = embeddings.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, _next_multiple(n, 128))
+    emb, n_true = _pad_rows(embeddings, chunk)
+    n_chunks = emb.shape[0] // chunk
+    emb_c = emb.reshape(n_chunks, chunk, emb.shape[1])
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+
+    def body(carry, args):
+        cs, ci = carry
+        e_chunk, start = args
+        s = _chunk_scores(queries, e_chunk)
+        idx = col + start
+        s = jnp.where(idx < n_true, s, NEG_INF)
+        v, a = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        gi = jnp.take_along_axis(idx, a, axis=1)
+        all_s = jnp.concatenate([cs, v], axis=1)
+        all_i = jnp.concatenate([ci, gi], axis=1)
+        v2, a2 = jax.lax.top_k(all_s, k)
+        return (v2, jnp.take_along_axis(all_i, a2, axis=1)), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = jax.lax.scan(body, init, (emb_c, starts))
+    return scores, idx
+
+
+def _next_multiple(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+Method = Literal["auto", "exact", "approx", "pallas"]
+
+
+def mips_topk(
+    queries: jax.Array,
+    embeddings: jax.Array,
+    k: int,
+    *,
+    method: Method = "auto",
+    chunk: int | None = None,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatching MIPS entry point. ``auto`` picks the Pallas fused kernel on
+    TPU for large N, the exact scan otherwise."""
+    n = embeddings.shape[0]
+    if method == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu and n >= 65536:
+            method = "pallas"
+        else:
+            method = "exact"
+    if method == "exact":
+        return mips_topk_exact(queries, embeddings, k, chunk=chunk or 16384)
+    if method == "approx":
+        return mips_topk_approx(
+            queries, embeddings, k, chunk=chunk or 262144,
+            recall_target=recall_target,
+        )
+    if method == "pallas":
+        from .mips_pallas import mips_topk_pallas
+
+        return mips_topk_pallas(queries, embeddings, k)
+    raise ValueError(f"unknown MIPS method {method!r}")

@@ -1,0 +1,96 @@
+"""Sharded flat index: distributed search on an 8-device CPU mesh
+(SURVEY.md §4: collective-merge tests on small multi-device meshes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+
+
+def brute(q, e, k):
+    s = q @ e.T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("n,k", [(1000, 10), (999, 20), (64, 5)])
+def test_search_matches_brute_force(mesh_flat, n, k):
+    rng = np.random.default_rng(0)
+    d = 32
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32, method="exact")
+    idx.set_embeddings(0, e)
+    vs, vi = idx.search(jnp.array(q), k)
+    ov, _ = brute(q, e, k)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-4, atol=1e-4)
+    got = np.take_along_axis(q @ e.T, np.asarray(vi), axis=1)
+    np.testing.assert_allclose(got, ov, rtol=1e-4, atol=1e-4)
+
+
+def test_search_on_2d_mesh(mesh8):
+    rng = np.random.default_rng(1)
+    n, d, k = 500, 16, 8
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    idx = ShardedFlatIndex(mesh8, n, d, dtype=jnp.float32, method="exact")
+    idx.set_embeddings(0, e)
+    vs, vi = idx.search(jnp.array(q), k)
+    ov, _ = brute(q, e, k)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-4, atol=1e-4)
+
+
+def test_incremental_build_refresh(mesh_flat):
+    """Refresh semantics: overwrite a row block with new embeddings and see
+    search results change accordingly (the in-loop rebuild path)."""
+    rng = np.random.default_rng(2)
+    n, d = 256, 16
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32, method="exact")
+    # build in two blocks
+    idx.set_embeddings(0, e[:100])
+    idx.set_embeddings(100, e[100:])
+    q = e[42:43] * 10.0
+    _, vi = idx.search(jnp.array(q), 1)
+    assert int(vi[0, 0]) == 42
+    # refresh: move passage 42's embedding to slot 7
+    e2 = e.copy()
+    e2[7] = e[42]
+    e2[42] = 0
+    idx.set_embeddings(0, e2[:128])
+    _, vi = idx.search(jnp.array(q), 1)
+    assert int(vi[0, 0]) == 7
+
+
+def test_save_load_roundtrip(tmp_path, mesh_flat):
+    rng = np.random.default_rng(3)
+    n, d = 200, 24
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32, method="exact")
+    idx.set_embeddings(0, e)
+    idx.save(str(tmp_path / "idx"), n_files=5)
+    idx2 = ShardedFlatIndex.load(str(tmp_path / "idx"), mesh_flat,
+                                 method="exact")
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    v1, i1 = idx.search(jnp.array(q), 10)
+    v2, i2 = idx2.search(jnp.array(q), 10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_padding_rows_never_returned(mesh_flat):
+    """k > n and negative-score corpora: zero pad rows (score 0) must never
+    displace valid negative-score candidates or appear as result ids."""
+    rng = np.random.default_rng(4)
+    n, d = 5, 16
+    e = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32, method="exact")
+    idx.set_embeddings(0, e)
+    q = np.abs(rng.standard_normal((2, d))).astype(np.float32)  # all scores < 0
+    vs, vi = idx.search(jnp.array(q), 50)
+    assert vs.shape == (2, n)
+    assert np.asarray(vi).max() < n
+    ov, oi = brute(q, e, n)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)

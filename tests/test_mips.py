@@ -1,0 +1,91 @@
+"""MIPS kernel tests against a brute-force oracle (SURVEY.md §4: unit tests
+for the MIPS kernel vs ``jnp.matmul + lax.top_k``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsa_rag_tpu.ops.mips import mips_topk_exact, mips_topk_approx, mips_topk
+from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
+
+
+def oracle(q, e, k):
+    s = np.asarray(q, np.float32) @ np.asarray(e, np.float32).T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def make_data(b=16, n=1000, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    return q, e
+
+
+@pytest.mark.parametrize("n,k,chunk", [(1000, 10, 256), (257, 5, 64),
+                                       (64, 64, 128), (5000, 100, 1024)])
+def test_exact_matches_oracle(n, k, chunk):
+    q, e = make_data(n=n)
+    vs, vi = mips_topk_exact(jnp.array(q), jnp.array(e), k, chunk=chunk)
+    ov, _ = oracle(q, e, k)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
+    # indices must produce the same scores (ties may permute indices)
+    got = np.take_along_axis(q @ e.T, np.asarray(vi), axis=1)
+    np.testing.assert_allclose(got, ov, rtol=1e-5, atol=1e-5)
+
+
+def test_approx_high_recall():
+    q, e = make_data(b=8, n=4096, d=32)
+    k = 50
+    _, vi = mips_topk_approx(jnp.array(q), jnp.array(e), k, chunk=1024)
+    _, oi = oracle(q, e, k)
+    recall = np.mean([
+        len(set(np.asarray(vi)[i]) & set(oi[i])) / k for i in range(len(q))
+    ])
+    assert recall >= 0.95
+
+
+@pytest.mark.parametrize("b,n,d,k", [
+    (4, 300, 64, 10),
+    (16, 2048, 128, 100),
+    (3, 1500, 256, 128),
+    (1, 129, 128, 7),
+])
+def test_pallas_matches_oracle(b, n, d, k):
+    q, e = make_data(b=b, n=n, d=d, seed=b + n)
+    vs, vi = mips_topk_pallas(
+        jnp.array(q), jnp.array(e), k, tile_q=8, tile_n=128, interpret=True
+    )
+    ov, _ = oracle(q, e, k)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-4, atol=1e-4)
+    got = np.take_along_axis(q @ e.T, np.asarray(vi), axis=1)
+    np.testing.assert_allclose(got, ov, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_duplicate_scores():
+    # ties: many identical rows — the selected score multiset must match
+    q = np.ones((4, 32), np.float32)
+    e = np.repeat(np.arange(16, dtype=np.float32)[:, None], 32, axis=1)
+    e = np.tile(e, (8, 1))  # 128 rows, scores repeat 8x
+    vs, vi = mips_topk_pallas(
+        jnp.array(q), jnp.array(e), 20, tile_q=8, tile_n=64, interpret=True
+    )
+    ov, _ = oracle(q, e, 20)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5)
+    # no duplicate indices per row
+    for row in np.asarray(vi):
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_dispatcher_cpu_defaults_to_exact():
+    q, e = make_data(b=2, n=128, d=16)
+    vs, vi = mips_topk(jnp.array(q), jnp.array(e), 4)
+    ov, _ = oracle(q, e, 4)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
+
+
+def test_k_larger_than_n():
+    q, e = make_data(b=2, n=8, d=16)
+    vs, vi = mips_topk_exact(jnp.array(q), jnp.array(e), 16)
+    assert vs.shape == (2, 8)
