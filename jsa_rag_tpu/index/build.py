@@ -1,0 +1,81 @@
+"""On-device index build / refresh: embed the corpus with live retriever
+weights and write straight into the sharded index.
+
+Reference analogue: ``RAG.build_index`` (src/rag.py:102-130) — deepcopy the
+passage tower to fp16, loop batches, write ``index.embeddings[:, a:b]``; plus
+the out-of-process variants (build_server/main_save.py, gRPC ``run_build``).
+Here the embed forward is a single jitted function over the mesh's data axis
+and the scatter into index shards is ``dynamic_update_slice`` — "rebuild" is
+the same code path as "build", so the HTTP/gRPC hop disappears.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.passages import PassageStore, format_passage
+from .flat import ShardedFlatIndex
+
+
+def build_index(
+    index: ShardedFlatIndex,
+    passages: PassageStore,
+    encode_fn: Callable,  # (ids, mask) -> (B, d) embeddings; jitted by caller
+    tokenizer,
+    batch_size: int = 256,
+    max_length: int = 256,
+    passage_fmt: str = "{title} {text}",
+    logger=None,
+) -> dict:
+    """Embed every passage and fill the index. Returns timing stats
+    (iter_stats shape mirrors the reference's runtime/indexing timers,
+    src/rag.py:156-170)."""
+    n = len(passages)
+    t0 = time.time()
+    tok_time = 0.0
+    start = 0
+    while start < n:
+        stop = min(start + batch_size, n)
+        texts = [
+            format_passage(passages[i], passage_fmt)
+            for i in range(start, stop)
+        ]
+        t1 = time.time()
+        ids, mask = tokenizer.encode_batch(texts, max_length)
+        tok_time += time.time() - t1
+        # pad the tail batch to the jitted batch size (static shapes)
+        if stop - start < batch_size:
+            pad = batch_size - (stop - start)
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        emb = encode_fn(jnp.asarray(ids), jnp.asarray(mask))
+        index.set_embeddings(start, emb[: stop - start])
+        start = stop
+    total = time.time() - t0
+    return {
+        "runtime/indexing": (total, 1),
+        "runtime/indexing_tokenize": (tok_time, 1),
+        "indexing/passages_per_sec": (n / max(total, 1e-9), 1),
+    }
+
+
+def make_encode_fn(retriever):
+    """Jitted passage-embed forward, parameterized by live weights so the
+    same compiled function serves both the initial build and every refresh
+    (the reference re-copies the tower to fp16 each time, src/rag.py:95-100).
+
+    Returns ``encode(params, ids, mask) -> (B, d)``; bind params with a
+    lambda when passing to :func:`build_index`.
+    """
+
+    @jax.jit
+    def encode(params, ids, mask):
+        return retriever.embed_passages(params, ids, mask)
+
+    return encode

@@ -1,0 +1,188 @@
+"""Functional JAX BERT encoder for dense retrieval.
+
+TPU-native replacement for the reference's vendored HF BERT
+(reference: src/modeling_bert.py, 1.9k LoC of torch) and its retrieval
+wrappers (src/retrievers.py:18-106). Differences by design:
+
+- plain parameter pytrees + pure functions (jit/pjit/grad compose directly);
+- all shapes static; attention mask is additive bias; no data-dependent
+  control flow, so XLA can fuse and tile for the MXU;
+- pooling variants match the reference's per-model dispatch
+  (src/retrievers.py:75-106): ``cls`` (DPR), ``cls_norm`` (bge),
+  ``mean`` (contriever), ``mean_norm`` (nomic/gte), ``sqrt`` (Atlas's
+  Embedding_con average/sqrt option, src/modeling_bert.py-era contriever).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    pooling: str = "mean"  # cls | cls_norm | mean | mean_norm | sqrt
+    dtype: Any = jnp.float32  # activation dtype (bf16 on TPU)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+def _dense_init(rng, shape, scale=0.02):
+    return scale * jax.random.normal(rng, shape, jnp.float32)
+
+
+def bert_init(rng: jax.Array, cfg: BertConfig) -> Params:
+    """Random-init parameter tree (HF-compatible structure, see
+    ``hf_import.import_bert`` for loading real checkpoints)."""
+    keys = iter(jax.random.split(rng, 16 + 16 * cfg.layers))
+    p: Params = {
+        "embed": {
+            "word": _dense_init(next(keys), (cfg.vocab_size, cfg.hidden)),
+            "position": _dense_init(
+                next(keys), (cfg.max_positions, cfg.hidden)
+            ),
+            "type": _dense_init(next(keys), (cfg.type_vocab, cfg.hidden)),
+            "ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+            "ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.layers):
+        layer = {
+            "q_w": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+            "q_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "k_w": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+            "k_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "v_w": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+            "v_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "o_w": _dense_init(next(keys), (cfg.hidden, cfg.hidden)),
+            "o_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "attn_ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+            "attn_ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+            "ffn_in_w": _dense_init(next(keys), (cfg.hidden, cfg.intermediate)),
+            "ffn_in_b": jnp.zeros((cfg.intermediate,), jnp.float32),
+            "ffn_out_w": _dense_init(
+                next(keys), (cfg.intermediate, cfg.hidden)
+            ),
+            "ffn_out_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "ffn_ln_scale": jnp.ones((cfg.hidden,), jnp.float32),
+            "ffn_ln_bias": jnp.zeros((cfg.hidden,), jnp.float32),
+        }
+        p["layers"].append(layer)
+    return p
+
+
+def _layer_norm(x, scale, bias, eps):
+    # LayerNorm in f32 regardless of activation dtype (numerics).
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attention(layer: Params, cfg: BertConfig, x, bias):
+    b, s, h = x.shape
+    nh, hd = cfg.heads, cfg.head_dim
+
+    def proj(w, bb):
+        return (x @ w.astype(x.dtype) + bb.astype(x.dtype)).reshape(
+            b, s, nh, hd
+        )
+
+    q = proj(layer["q_w"], layer["q_b"])
+    k = proj(layer["k_w"], layer["k_b"])
+    v = proj(layer["v_w"], layer["v_b"])
+    logits = jnp.einsum(
+        "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    logits = logits + bias  # (B, 1, 1, S) additive mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+    return ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
+
+
+def _ffn(layer: Params, x):
+    h = x @ layer["ffn_in_w"].astype(x.dtype) + layer["ffn_in_b"].astype(
+        x.dtype
+    )
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ layer["ffn_out_w"].astype(x.dtype) + layer[
+        "ffn_out_b"
+    ].astype(x.dtype)
+
+
+def bert_hidden(
+    params: Params, cfg: BertConfig, input_ids, attention_mask
+) -> jax.Array:
+    """Full sequence of last-layer hidden states, (B, S, H)."""
+    b, s = input_ids.shape
+    emb = params["embed"]
+    pos = jnp.arange(s)[None, :]
+    x = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + jnp.take(emb["position"], pos, axis=0)
+        + emb["type"][0][None, None, :]
+    )
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)
+    x = x.astype(cfg.dtype)
+    bias = jnp.where(
+        attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
+    ).astype(jnp.float32)
+    for layer in params["layers"]:
+        a = _attention(layer, cfg, x, bias)
+        x = _layer_norm(
+            x + a, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.ln_eps
+        )
+        f = _ffn(layer, x)
+        x = _layer_norm(
+            x + f, layer["ffn_ln_scale"], layer["ffn_ln_bias"], cfg.ln_eps
+        )
+    return x
+
+
+def pool(hidden: jax.Array, attention_mask, pooling: str) -> jax.Array:
+    """Sequence -> embedding pooling, matching src/retrievers.py:48-106."""
+    mask = attention_mask.astype(hidden.dtype)[..., None]
+    if pooling in ("cls", "cls_norm"):
+        out = hidden[:, 0]
+    elif pooling in ("mean", "mean_norm"):
+        out = jnp.sum(hidden * mask, axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1), 1e-9
+        )
+    elif pooling == "sqrt":
+        out = jnp.sum(hidden * mask, axis=1) / jnp.sqrt(
+            jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
+        )
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    if pooling.endswith("_norm"):
+        out = out / jnp.maximum(
+            jnp.linalg.norm(out.astype(jnp.float32), axis=-1, keepdims=True),
+            1e-12,
+        ).astype(out.dtype)
+    return out
+
+
+def bert_encode(
+    params: Params, cfg: BertConfig, input_ids, attention_mask
+) -> jax.Array:
+    """(B, S) token ids -> (B, H) pooled embeddings."""
+    hidden = bert_hidden(params, cfg, input_ids, attention_mask)
+    return pool(hidden, attention_mask, cfg.pooling)
