@@ -81,6 +81,58 @@ def import_bert(state_dict: Mapping[str, Any], n_layers: int,
     return p
 
 
+def lm_config_from_hf(hf_cfg, dtype=None) -> "LMConfig":
+    from .lm import LMConfig
+    import jax.numpy as jnp
+
+    return LMConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden=hf_cfg.hidden_size,
+        layers=hf_cfg.num_hidden_layers,
+        heads=hf_cfg.num_attention_heads,
+        kv_heads=getattr(hf_cfg, "num_key_value_heads",
+                         hf_cfg.num_attention_heads),
+        intermediate=hf_cfg.intermediate_size,
+        rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        rms_eps=getattr(hf_cfg, "rms_norm_eps", 1e-5),
+        tie_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+def import_causal_lm(state_dict: Mapping[str, Any], n_layers: int,
+                     tie_embeddings: bool = False) -> Params:
+    """Convert an HF Llama/Mistral ``*ForCausalLM`` state dict to the
+    ``lm.py`` tree (reference loads these models via AutoModelForCausalLM,
+    src/model_io.py:110-131)."""
+    sd = dict(state_dict)
+
+    def w(name):  # torch Linear weight (out, in) -> x @ W wants (in, out)
+        return _np(sd[name]).T
+
+    p: Params = {
+        "embed": _np(sd["model.embed_tokens.weight"]),
+        "final_norm": _np(sd["model.norm.weight"]),
+        "layers": [],
+    }
+    for i in range(n_layers):
+        pre = f"model.layers.{i}."
+        p["layers"].append({
+            "attn_norm": _np(sd[pre + "input_layernorm.weight"]),
+            "q_w": w(pre + "self_attn.q_proj.weight"),
+            "k_w": w(pre + "self_attn.k_proj.weight"),
+            "v_w": w(pre + "self_attn.v_proj.weight"),
+            "o_w": w(pre + "self_attn.o_proj.weight"),
+            "mlp_norm": _np(sd[pre + "post_attention_layernorm.weight"]),
+            "gate_w": w(pre + "mlp.gate_proj.weight"),
+            "up_w": w(pre + "mlp.up_proj.weight"),
+            "down_w": w(pre + "mlp.down_proj.weight"),
+        })
+    if not tie_embeddings:
+        p["lm_head"] = w("lm_head.weight")
+    return p
+
+
 # Pooling dispatch by model-name substring, mirroring the reference's
 # get_class/get_embeddings tables (src/retrievers.py:65-106).
 POOLING_BY_MODEL = (

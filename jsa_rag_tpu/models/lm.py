@@ -1,0 +1,297 @@
+"""Functional decoder-only LM (llama/mistral-family geometry) for generation.
+
+TPU-native replacement for the reference's HF ``AutoModelForCausalLM``
+generators (reference: src/model_io.py:110-171 loads mistral/llama/GPT2 and
+runs them under torch). Here:
+
+- plain param pytrees + pure functions; one ``lm_logits`` forward used for
+  training CE, sequence scoring (``get_llm_score``-style, src/rag.py:2328),
+  and prefill;
+- RMSNorm + rotary positions + grouped-query attention + SwiGLU — the
+  mistral/llama block — with static shapes and a causal+padding additive mask;
+- greedy decoding with a preallocated KV cache driven by ``lax.scan``
+  (the reference calls HF ``generate`` with greedy settings,
+  evaluate.py:215-256);
+- positions derived from the attention mask (``cumsum-1``) so right-padded
+  training batches and left-padded generation batches both work — matching
+  the reference's padding conventions (tokenize_casual right-pads,
+  tokenize_casual4gen left-pads; src/rag.py:506-525, 625-629).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+IGNORE_INDEX = -100  # label mask value, same constant as the reference
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int = 32000
+    hidden: int = 4096
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 8
+    intermediate: int = 14336
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+def lm_init(rng: jax.Array, cfg: LMConfig) -> Params:
+    scale = 0.02
+    n_keys = 2 + 7 * cfg.layers
+    keys = iter(jax.random.split(rng, n_keys))
+
+    def w(shape):
+        return scale * jax.random.normal(next(keys), shape, jnp.float32)
+
+    hd = cfg.head_dim
+    p: Params = {
+        "embed": w((cfg.vocab_size, cfg.hidden)),
+        "final_norm": jnp.ones((cfg.hidden,), jnp.float32),
+        "layers": [],
+    }
+    for _ in range(cfg.layers):
+        p["layers"].append({
+            "attn_norm": jnp.ones((cfg.hidden,), jnp.float32),
+            "q_w": w((cfg.hidden, cfg.heads * hd)),
+            "k_w": w((cfg.hidden, cfg.kv_heads * hd)),
+            "v_w": w((cfg.hidden, cfg.kv_heads * hd)),
+            "o_w": w((cfg.heads * hd, cfg.hidden)),
+            "mlp_norm": jnp.ones((cfg.hidden,), jnp.float32),
+            "gate_w": w((cfg.hidden, cfg.intermediate)),
+            "up_w": w((cfg.hidden, cfg.intermediate)),
+            "down_w": w((cfg.intermediate, cfg.hidden)),
+        })
+    if not cfg.tie_embeddings:
+        p["lm_head"] = w((cfg.hidden, cfg.vocab_size))
+    return p
+
+
+def _rms_norm(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (y * scale).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """x: (B, S, N, D); positions: (B, S)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def positions_from_mask(attention_mask) -> jax.Array:
+    """Left- or right-padding agnostic positions: cumsum(mask)-1, clamped."""
+    return jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+
+def _attention(layer, cfg: LMConfig, x, positions, bias, cache=None,
+               cache_len=None):
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
+    q = (x @ layer["q_w"].astype(x.dtype)).reshape(b, s, nh, hd)
+    k = (x @ layer["k_w"].astype(x.dtype)).reshape(b, s, nkv, hd)
+    v = (x @ layer["v_w"].astype(x.dtype)).reshape(b, s, nkv, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    if cache is not None:
+        # decode step: append this step's k/v at cache_len
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+    else:
+        new_cache = None
+
+    rep = nh // nkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum(
+        "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, nh * hd)
+    out = ctx @ layer["o_w"].astype(x.dtype)
+    return out, new_cache
+
+
+def _mlp(layer, x):
+    g = x @ layer["gate_w"].astype(x.dtype)
+    u = x @ layer["up_w"].astype(x.dtype)
+    return (jax.nn.silu(g) * u) @ layer["down_w"].astype(x.dtype)
+
+
+def _unembed(params, cfg: LMConfig, x):
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.einsum(
+        "bsh,hv->bsv", x, head.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
+              positions=None) -> jax.Array:
+    """(B, S) -> (B, S, V) f32 logits. Causal + padding mask."""
+    b, s = input_ids.shape
+    if positions is None:
+        positions = positions_from_mask(attention_mask)
+    x = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    keymask = attention_mask[:, None, None, :].astype(bool)
+    bias = jnp.where(causal & keymask, 0.0, -1e9).astype(jnp.float32)
+    for layer in params["layers"]:
+        a, _ = _attention(
+            layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+            positions, bias,
+        )
+        x = x + a
+        x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return _unembed(params, cfg, x)
+
+
+def lm_loss(params: Params, cfg: LMConfig, input_ids, attention_mask,
+            labels, *, length_normalized: bool = True):
+    """Causal-LM cross entropy with IGNORE_INDEX masking.
+
+    Returns per-sequence loss (B,) — length-normalized like the reference's
+    per-sequence CE (src/rag.py:1338-1366 divides by per-example target
+    length) — plus the summed-token variant for marginal-likelihood math.
+    """
+    logits = lm_logits(params, cfg, input_ids, attention_mask)
+    # next-token prediction: logits[t] predicts token t+1
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_INDEX
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_logp = jnp.take_along_axis(
+        logp, safe_targets[..., None], axis=-1
+    )[..., 0]
+    tok_logp = jnp.where(valid, tok_logp, 0.0)
+    n_tok = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    sum_nll = -jnp.sum(tok_logp, axis=1)
+    if length_normalized:
+        return sum_nll / n_tok, sum_nll
+    return sum_nll, sum_nll
+
+
+def lm_sequence_logprob(params, cfg, input_ids, attention_mask, labels,
+                        *, length_normalized: bool = True):
+    """log p(target | prompt) per sequence — the reference's
+    ``get_llm_score`` (src/rag.py:2328-2345) used to score JSA/MIS proposals."""
+    per_seq, sum_nll = lm_loss(
+        params, cfg, input_ids, attention_mask, labels,
+        length_normalized=length_normalized,
+    )
+    return -per_seq
+
+
+# ------------------------------------------------------------------ decoding
+def init_cache(cfg: LMConfig, batch: int, max_len: int):
+    hd = cfg.head_dim
+    return [
+        (
+            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
+            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
+        )
+        for _ in range(cfg.layers)
+    ]
+
+
+def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
+                        cache, cache_len, total_len):
+    """Shared by prefill (S=prompt len) and decode (S=1). ``attention_mask``
+    here is the mask over the FULL cache window (B, total_len)."""
+    b, s = input_ids.shape
+    x = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    # query positions index into the cache window
+    q_pos = positions  # (B, S)
+    k_pos = jnp.arange(total_len)[None, :]  # cache slots
+    causal = (k_pos[:, None, :] <= (cache_len + jnp.arange(s))[None, :, None])
+    keymask = attention_mask[:, None, :].astype(bool)
+    bias = jnp.where(
+        (causal & keymask)[:, None], 0.0, -1e9
+    ).astype(jnp.float32)
+    new_cache = []
+    for layer, lc in zip(params["layers"], cache):
+        a, nc = _attention(
+            layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+            q_pos, bias, cache=lc, cache_len=cache_len,
+        )
+        new_cache.append(nc)
+        x = x + a
+        x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return _unembed(params, cfg, x), new_cache
+
+
+def greedy_generate(params: Params, cfg: LMConfig, input_ids,
+                    attention_mask, *, max_new_tokens: int,
+                    eos_id: int, pad_id: int) -> jax.Array:
+    """Greedy decode with preallocated KV cache.
+
+    ``input_ids`` must be LEFT-padded (reference: tokenize_casual4gen pads
+    left so the last position is the prompt end, src/rag.py:625-629).
+    Returns (B, max_new_tokens) generated ids, ``pad_id`` after EOS.
+    """
+    b, prompt_len = input_ids.shape
+    total = prompt_len + max_new_tokens
+    cache = init_cache(cfg, b, total)
+
+    positions = positions_from_mask(attention_mask)
+    full_mask = jnp.concatenate(
+        [attention_mask,
+         jnp.zeros((b, max_new_tokens), attention_mask.dtype)], axis=1)
+    logits, cache = _forward_with_cache(
+        params, cfg, input_ids, full_mask, positions, cache,
+        cache_len=0, total_len=total,
+    )
+    last_logits = logits[:, -1]  # left-padded: last position is prompt end
+    next_tok = jnp.argmax(last_logits, axis=-1)
+    next_pos = positions[:, -1] + 1
+    done = next_tok == eos_id
+
+    def step(carry, t):
+        tok, pos, mask, cache, done = carry
+        mask = mask.at[:, prompt_len + t].set(1)
+        logits, cache = _forward_with_cache(
+            params, cfg, tok[:, None], mask, pos[:, None], cache,
+            cache_len=prompt_len + t, total_len=total,
+        )
+        new_tok = jnp.argmax(logits[:, -1], axis=-1)
+        new_tok = jnp.where(done, pad_id, new_tok)
+        new_done = done | (new_tok == eos_id)
+        # emit the carried token (tokens generated after EOS are already pad)
+        return (new_tok, pos + 1, mask, cache, new_done), tok
+
+    (_, _, _, _, _), toks = jax.lax.scan(
+        step,
+        (next_tok, next_pos, full_mask, cache, done),
+        jnp.arange(max_new_tokens),
+    )
+    return toks.T  # (B, max_new_tokens)
