@@ -1,0 +1,184 @@
+"""Framework configuration.
+
+A dataclass mirror of the reference's argparse Options (src/options.py:15-643)
+— semantic field names kept flag-compatible so the reference's experiment
+scripts translate 1:1. Grouped like the reference: base / optim / modeling /
+JSA / index / eval. ``to_argparse``/``from_args`` give CLI parity for
+train.py / evaluate.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class Options:
+    # ----- basic (src/options.py:20-120)
+    name: str = "experiment"
+    checkpoint_dir: str = "./checkpoint"
+    model_path: str = "none"
+    train_data: list[str] = dataclasses.field(default_factory=list)
+    eval_data: list[str] = dataclasses.field(default_factory=list)
+    per_gpu_batch_size: int = 1
+    per_gpu_embedder_batch_size: int = 512
+    log_freq: int = 100
+    eval_freq: int = 500
+    save_freq: int = 5000
+    seed: int = 0
+    target_maxlength: int = 256
+    text_maxlength: int = 512
+
+    # ----- optim (src/options.py:121-205)
+    warmup_steps: int = 20
+    total_steps: int = 1000
+    scheduler_steps: int | None = None
+    accumulation_steps: int = 1
+    dropout: float = 0.1
+    lr: float = 2e-5
+    lr_retriever: float = 1e-5
+    clip: float = 1.0
+    scheduler: str = "cosine"  # linear | cosine | fixed
+    weight_decay: float = 0.1
+    save_optimizer: bool = False
+    epsilon: float = 1e-6
+    beta2: float = 0.999
+    separate_learning_rates: bool = True
+    shard_optim: bool = False  # FSDP-style optimizer-state sharding
+    precision: str = "bf16"  # fp32 | fp16 | bf16
+
+    # ----- modeling (src/options.py:206-451)
+    generator_model_type: str = "mistral"
+    retriever_model_path: str = "bge"
+    retriever_pooling: str | None = None  # derived from model path if None
+    train_retriever: bool = True
+    use_lora: bool = True
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    query_side_retriever_training: bool = False
+    decoder_only: bool = True
+    concat_doc: bool = False
+    dialog: bool = False
+    n_context: int = 10
+    retriever_n_context: int = 100
+    retriever_format: str = "{title} {text}"
+    gold_score_mode: str = "jsa"  # rag | vrag | jsa | ppmean ...
+    gen_method: str = "fast_deocde1"  # concat | fast_deocde1 | fast_deocde2
+    temperature_score: float = 1.0
+    temperature_gold: float = 1.0
+    use_gradient_checkpoint_retriever: bool = False
+    use_gradient_checkpoint_generator: bool = False
+    retrieve_with_rerank: bool = False
+    n_to_rerank_with_retrieve_with_rerank: int = 128
+    use_file_passages: bool = False
+    closed_book: bool = False
+    freeze_retriever_steps: int = -1
+    refresh_index: str = "-1"
+    qa_prompt_format: str = "question: {question} answer: <extra_id_0>"
+
+    # ----- JSA (src/options.py:452-552)
+    mis_step: int = 50
+    mis_topk: int = 0
+    use_all_mis: bool = True
+    temperature_jsa: float = 1.0
+    temperature_lm: float = 1.0
+    unil_postandprior: bool = True
+    decouple_encoder: bool = False
+    simplify_JSA: bool = False
+    reduce_norm: bool = False
+    contrastive_learning: bool = False
+    training_sample_num: int = 8
+    standard_mc: bool = False
+    union_kl: bool = True
+    kl_beta: float = 1.0
+
+    # ----- index (src/options.py:553-588)
+    index_mode: str = "flat"  # flat | ivf
+    index_dtype: str = "bfloat16"
+    ivf_n_lists: int = 0  # 0 -> auto: min(sqrt(N)/100-ish heuristic, 2048)
+    ivf_n_probe: int = 0
+    load_index_path: str | None = None
+    save_index_path: str | None = None
+    save_index_n_shards: int = 16
+    passages: list[str] = dataclasses.field(default_factory=list)
+
+    # ----- eval (src/options.py:589-615)
+    generation_max_length: int = 256
+    generation_min_length: int | None = None
+    generation_num_beams: int = 1
+    generation_length_penalty: float = 1.0
+    gen_doc_scores: float = 1.0
+    task: str = "qa"
+    write_results: bool = False
+
+    # ----- mesh / TPU (new; replaces slurm/torchrun flags, src/slurm.py)
+    mesh_data: int = 1
+    mesh_index: int = 0  # 0 -> all remaining devices
+    eps: float = 1e-30  # numerical floor, reference's self.eps
+
+    def __post_init__(self):
+        # post-parse normalization mirroring src/options.py:616-633
+        if self.closed_book:
+            self.n_context = 1
+            self.retriever_n_context = 1
+        if self.scheduler_steps is None:
+            self.scheduler_steps = self.total_steps
+
+    # ------------------------------------------------------------- argparse
+    @classmethod
+    def to_argparse(cls) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(
+            description="jsa_rag_tpu options (flag-compatible with the "
+                        "reference's src/options.py)")
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            default = (
+                f.default if f.default is not dataclasses.MISSING
+                else f.default_factory()
+            )
+            if f.type in ("bool", bool):
+                p.add_argument(name, type=_str2bool, nargs="?", const=True,
+                               default=default)
+            elif f.type in ("list[str]", list):
+                p.add_argument(name, nargs="*", default=default)
+            elif default is None:
+                p.add_argument(name, default=None)
+            else:
+                p.add_argument(name, type=type(default), default=default)
+        return p
+
+    @classmethod
+    def from_args(cls, argv=None) -> "Options":
+        ns = cls.to_argparse().parse_args(argv)
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            v = getattr(ns, f.name)
+            if f.name in ("scheduler_steps", "generation_min_length",
+                          "load_index_path", "save_index_path",
+                          "retriever_pooling") and v in ("none", "None", ""):
+                v = None
+            if f.name in ("scheduler_steps", "generation_min_length") and \
+                    isinstance(v, str):
+                v = int(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "Options":
+        with open(path) as f:
+            d = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _str2bool(v: Any) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y")

@@ -175,14 +175,19 @@ def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
 
 
 def lm_loss(params: Params, cfg: LMConfig, input_ids, attention_mask,
-            labels, *, length_normalized: bool = True):
+            labels, *, length_normalized: bool = True,
+            logit_temp: float = 1.0):
     """Causal-LM cross entropy with IGNORE_INDEX masking.
 
     Returns per-sequence loss (B,) — length-normalized like the reference's
     per-sequence CE (src/rag.py:1338-1366 divides by per-example target
     length) — plus the summed-token variant for marginal-likelihood math.
+    ``logit_temp`` divides the logits before CE (the reference's
+    ``temperature_gold``, src/rag.py:1349).
     """
     logits = lm_logits(params, cfg, input_ids, attention_mask)
+    if logit_temp != 1.0:
+        logits = logits / logit_temp
     # next-token prediction: logits[t] predicts token t+1
     logits = logits[:, :-1]
     targets = labels[:, 1:]

@@ -1,0 +1,345 @@
+"""RAG orchestration: retrieval, batch building, mode losses, generation.
+
+The TPU-native counterpart of the reference's ``RAG`` nn.Module
+(src/rag.py:68-2462). Responsibilities are split:
+
+- host side (this class): retriever/generator tokenization, index queries,
+  prior∪posterior union construction (padded to static width U=2K with a
+  validity mask — the reference's ragged python dedup, src/rag.py:1834-1858),
+  passage-id -> text resolution;
+- device side: the jitted mode losses (``modes.py``) and jitted embed/search/
+  decode functions.
+
+Transport note: the reference has three retrieval transports (in-process
+collectives / HTTP server / gRPC rebuild client — src/rag.py:134-174,
+src/post.py, train.py:401-409). Here the index is a sharded device array in
+the same program, so all three collapse into ``self.index.search`` — no
+server, no pickle, no RPC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options
+from ..data.passages import PassageStore, format_passage
+from ..data.prompts import PromptConfig, build_training_batch, \
+    build_generation_batch
+from ..index.build import build_index as _build_index
+from ..models.lm import LMConfig, greedy_generate, lm_sequence_logprob
+from ..models.lora import LoRAConfig
+from ..models.retriever import DualEncoderRetriever
+from .modes import MODE_LOSSES, ApplyFns
+
+BERT_MAX_SEQ_LENGTH = 512  # reference: src/rag.py:40
+
+
+class RAGModel:
+    def __init__(
+        self,
+        opt: Options,
+        retriever: DualEncoderRetriever,
+        gen_cfg: LMConfig,
+        retriever_tokenizer,
+        generator_tokenizer,
+        store: PassageStore,
+        lora_cfg: LoRAConfig | None = None,
+    ):
+        self.opt = opt
+        self.retriever = retriever
+        self.gen_cfg = gen_cfg
+        self.retriever_tokenizer = retriever_tokenizer
+        self.generator_tokenizer = generator_tokenizer
+        self.store = store
+        self.prompt_cfg = PromptConfig(
+            family=opt.generator_model_type,
+            concat_doc=opt.concat_doc,
+            dialog=opt.dialog,
+            text_maxlength=opt.text_maxlength,
+            target_maxlength=opt.target_maxlength,
+        )
+        self.fns = ApplyFns(
+            retriever=retriever,
+            gen_cfg=gen_cfg,
+            lora_cfg=lora_cfg,
+            temperature_gold=opt.temperature_gold,
+            temperature_score=opt.temperature_score,
+            temperature_jsa=opt.temperature_jsa,
+            temperature_lm=opt.temperature_lm,
+            mis_step=opt.mis_step,
+            mis_topk=opt.mis_topk,
+            n_context=opt.n_context,
+            use_all_mis=opt.use_all_mis,
+            standard_mc=opt.standard_mc,
+            union_kl=opt.union_kl,
+            kl_beta=opt.kl_beta,
+            simplify_jsa=opt.simplify_JSA,
+            eps=opt.eps,
+        )
+        self._jit_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ tokenizing
+    def retriever_tokenize(self, texts: list[str]):
+        max_len = min(self.opt.text_maxlength, BERT_MAX_SEQ_LENGTH)
+        ids, mask = self.retriever_tokenizer.encode_batch(texts, max_len)
+        return ids, mask
+
+    def passage_texts(self, ids_matrix: np.ndarray) -> list[list[dict]]:
+        """(B, K) global passage ids -> passages (host-side resolution)."""
+        return [[self.store[int(i)] for i in row] for row in ids_matrix]
+
+    def _tokenize_passage_matrix(self, passages: list[list[dict]]):
+        """(B, K) passages -> (B, K, L) retriever token arrays."""
+        fstr = self.opt.retriever_format
+        flat = [fstr.format(**{"title": p.get("title", ""),
+                               "text": p.get("text", "")})
+                for row in passages for p in row]
+        ids, mask = self.retriever_tokenize(flat)
+        b, k = len(passages), len(passages[0])
+        return ids.reshape(b, k, -1), mask.reshape(b, k, -1)
+
+    # -------------------------------------------------------------- retrieval
+    def _jit(self, key, make):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = make()
+        return self._jit_cache[key]
+
+    def embed_queries(self, params, texts, posterior: bool = False):
+        ids, mask = self.retriever_tokenize(texts)
+        fn = self._jit(("embed_q", posterior), lambda: jax.jit(
+            lambda p, i, m: self.retriever.embed_queries(p, i, m)))
+        tower = params["post_retriever" if posterior else "retriever"]
+        return fn(tower, jnp.asarray(ids), jnp.asarray(mask))
+
+    def retrieve(self, index, params, queries: list[str], topk: int,
+                 posterior: bool = False, iter_stats: dict | None = None):
+        """Query the in-process sharded index; returns (ids (B,k) np,
+        scores (B,k) np, passages). Reference: RAG._retrieve + search_knn
+        (src/rag.py:134-174, src/index.py:124-158)."""
+        t0 = time.time()
+        q_emb = self.embed_queries(params, queries, posterior=posterior)
+        if self.opt.retrieve_with_rerank:
+            ids, scores = self._retrieve_rerank(index, params, q_emb, topk,
+                                                posterior)
+        else:
+            scores, ids = index.search(q_emb, topk)
+            ids, scores = np.asarray(ids), np.asarray(scores)
+        if iter_stats is not None:
+            iter_stats["runtime/search"] = (time.time() - t0, 1)
+        return ids, scores, self.passage_texts(ids)
+
+    def _retrieve_rerank(self, index, params, q_emb, topk, posterior):
+        """retrieve_with_rerank (src/rag.py:177-247): over-retrieve
+        n_to_rerank, re-embed those passages with the live tower, re-sort."""
+        n_rr = max(self.opt.n_to_rerank_with_retrieve_with_rerank, topk)
+        _, cand_ids = index.search(q_emb, n_rr)
+        cand_ids = np.asarray(cand_ids)
+        passages = self.passage_texts(cand_ids)
+        p_ids, p_mask = self._tokenize_passage_matrix(passages)
+        fn = self._jit(("rerank_embed", posterior), lambda: jax.jit(
+            lambda p, i, m: self.retriever.embed_passages(
+                p, i.reshape(-1, i.shape[-1]), m.reshape(-1, m.shape[-1]))))
+        tower = params["post_retriever" if posterior else "retriever"]
+        p_emb = fn(tower, jnp.asarray(p_ids), jnp.asarray(p_mask))
+        p_emb = np.asarray(p_emb).reshape(cand_ids.shape[0], n_rr, -1)
+        scores = np.einsum("bh,bkh->bk", np.asarray(q_emb, np.float32),
+                           p_emb.astype(np.float32))
+        order = np.argsort(-scores, axis=-1)[:, :topk]
+        return (np.take_along_axis(cand_ids, order, axis=1),
+                np.take_along_axis(scores, order, axis=1))
+
+    # ------------------------------------------------------------ index build
+    def build_index(self, index, params, iter_stats: dict | None = None):
+        """(Re)build the index with live passage-tower weights
+        (reference: src/rag.py:102-130 + gRPC/HTTP rebuild variants)."""
+        encode = self._jit(("build_encode",), lambda: jax.jit(
+            lambda p, i, m: self.retriever.embed_passages(p, i, m)))
+        tower = params["retriever"]
+        stats = _build_index(
+            index, self.store,
+            lambda i, m: encode(tower, i, m),
+            self.retriever_tokenizer,
+            batch_size=self.opt.per_gpu_embedder_batch_size,
+            max_length=min(self.opt.text_maxlength, BERT_MAX_SEQ_LENGTH),
+            passage_fmt=self.opt.retriever_format,
+        )
+        if iter_stats is not None:
+            iter_stats.update(stats)
+        return stats
+
+    # ------------------------------------------------------------- batch build
+    @staticmethod
+    def build_union(post_ids: np.ndarray, prior_ids: np.ndarray):
+        """First-occurrence union of (post, prior) id lists per row, padded to
+        static width U = post_K + prior_K with a validity mask
+        (reference's ragged dedup: src/rag.py:1834-1858)."""
+        b, k1 = post_ids.shape
+        k2 = prior_ids.shape[1]
+        u = k1 + k2
+        union = np.zeros((b, u), np.int64)
+        valid = np.zeros((b, u), bool)
+        for i in range(b):
+            seen: dict[int, None] = {}
+            for x in np.concatenate([post_ids[i], prior_ids[i]]):
+                seen.setdefault(int(x))
+            ids = list(seen)
+            union[i, :len(ids)] = ids
+            union[i, len(ids):] = ids[0]  # pad with a real id (masked out)
+            valid[i, :len(ids)] = True
+        return union, valid
+
+    def _generator_rows(self, queries, passages, targets):
+        ids, labels, mask = build_training_batch(
+            self.generator_tokenizer, queries, passages, targets,
+            self.prompt_cfg)
+        return (jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask))
+
+    def build_batch(self, mode: str, index, params, queries, targets,
+                    iter_stats: dict | None = None):
+        """Retrieve + tokenize everything the jitted mode loss needs."""
+        topk = self.opt.n_context
+        if mode == "concat":
+            _, _, passages = self.retrieve(index, params, queries, topk,
+                                           iter_stats=iter_stats)
+            g = self._generator_rows(queries, passages, targets)
+            return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
+
+        if mode == "rag":
+            ids, _, passages = self.retrieve(index, params, queries, topk,
+                                             iter_stats=iter_stats)
+            q_ids, q_mask = self.retriever_tokenize(queries)
+            p_ids, p_mask = self._tokenize_passage_matrix(passages)
+            g = self._generator_rows(queries, passages, targets)
+            return {
+                "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
+                "passage_ids": jnp.asarray(p_ids),
+                "passage_mask": jnp.asarray(p_mask),
+                "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
+            }
+
+        post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries, targets)]
+        post_ids_np, _, post_passages = self.retrieve(
+            index, params, post_queries, topk, posterior=True,
+            iter_stats=iter_stats)
+        prior_ids_np, _, prior_passages = self.retrieve(
+            index, params, queries, topk, iter_stats=iter_stats)
+        q_ids, q_mask = self.retriever_tokenize(queries)
+        pq_ids, pq_mask = self.retriever_tokenize(post_queries)
+
+        if mode == "vrag":
+            pp_ids, pp_mask = self._tokenize_passage_matrix(post_passages)
+            g = self._generator_rows(queries, post_passages, targets)
+            batch = {
+                "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
+                "post_q_ids": jnp.asarray(pq_ids),
+                "post_q_mask": jnp.asarray(pq_mask),
+                "post_passage_ids": jnp.asarray(pp_ids),
+                "post_passage_mask": jnp.asarray(pp_mask),
+                "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
+            }
+            if self.opt.union_kl:
+                union, valid = self.build_union(post_ids_np, prior_ids_np)
+                u_passages = self.passage_texts(union)
+                u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
+                batch.update({
+                    "union_passage_ids": jnp.asarray(u_ids),
+                    "union_passage_mask": jnp.asarray(u_mask),
+                    "union_valid": jnp.asarray(valid),
+                })
+            return batch
+
+        if mode == "jsa":
+            union, valid = self.build_union(post_ids_np, prior_ids_np)
+            u_passages = self.passage_texts(union)
+            u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
+            g = self._generator_rows(queries, u_passages, targets)
+            return {
+                "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
+                "post_q_ids": jnp.asarray(pq_ids),
+                "post_q_mask": jnp.asarray(pq_mask),
+                "union_passage_ids": jnp.asarray(u_ids),
+                "union_passage_mask": jnp.asarray(u_mask),
+                "union_valid": jnp.asarray(valid),
+                "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
+            }
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # ------------------------------------------------------------- loss/grads
+    def loss_and_grad_fn(self, mode: str):
+        """Cached jitted value_and_grad of the mode loss."""
+        def make():
+            loss = functools.partial(MODE_LOSSES[mode], self.fns)
+            return jax.jit(jax.value_and_grad(loss, has_aux=True))
+        return self._jit(("vg", mode), make)
+
+    def forward(self, mode: str, index, params, queries, targets, rng,
+                iter_stats: dict | None = None):
+        """One un-jitted forward (loss only) — used by eval loss paths."""
+        batch = self.build_batch(mode, index, params, queries, targets,
+                                 iter_stats=iter_stats)
+        loss_fn = self._jit(("loss", mode), lambda: jax.jit(
+            functools.partial(MODE_LOSSES[mode], self.fns)))
+        return loss_fn(params, batch, rng)
+
+    # -------------------------------------------------------------- generation
+    def generate(self, params, queries, passages, *, max_new_tokens=None):
+        """Greedy decode on (left-padded) prompts; (B or B*K, L_new) ids."""
+        gids, gmask = build_generation_batch(
+            self.generator_tokenizer, queries, passages, self.prompt_cfg)
+        gen_params = self.fns.gen_params(params)
+        out = greedy_generate(
+            gen_params, self.gen_cfg, jnp.asarray(gids), jnp.asarray(gmask),
+            max_new_tokens=max_new_tokens or self.opt.generation_max_length,
+            eos_id=self.generator_tokenizer.eos_id,
+            pad_id=self.generator_tokenizer.pad_id,
+        )
+        return np.asarray(out)
+
+    def method_generate(self, params, queries, passages, ret_scores,
+                        *, max_new_tokens=None):
+        """fast_deocde1/2 (sic, reference: src/rag.py:2282-2326): generate one
+        answer per (query, passage) pair, pick the best of K by
+        sent_prob x softmax(ret_score / gen_doc_scores)."""
+        b = len(queries)
+        k = len(passages[0])
+        gen = self.generate(params, queries, passages,
+                            max_new_tokens=max_new_tokens)  # (B*K, L_new)
+        # score the generated continuations (greedy => max log-probs)
+        sent_logp = self._score_generations(params, queries, passages, gen)
+        sent_logp = sent_logp.reshape(b, k)
+        ret = np.asarray(ret_scores, np.float32)
+        if self.opt.gen_method == "fast_deocde2":
+            total = sent_logp + ret / self.opt.gen_doc_scores
+        else:  # fast_deocde1
+            probs = np.exp(sent_logp)
+            e = np.exp(ret / self.opt.gen_doc_scores -
+                       np.max(ret / self.opt.gen_doc_scores, -1,
+                              keepdims=True))
+            total = probs * (e / e.sum(-1, keepdims=True))
+        best = np.argmax(total, axis=-1)
+        gen = gen.reshape(b, k, -1)
+        return gen[np.arange(b), best], gen
+
+    def _score_generations(self, params, queries, passages, gen_tokens):
+        """Length-normalized log-prob of each generated continuation."""
+        gids, gmask = build_generation_batch(
+            self.generator_tokenizer, queries, passages, self.prompt_cfg)
+        pad = self.generator_tokenizer.pad_id
+        gen_mask = (gen_tokens != pad).astype(np.int32)
+        full_ids = np.concatenate([gids, gen_tokens], axis=1)
+        full_mask = np.concatenate([gmask, gen_mask], axis=1)
+        labels = np.concatenate(
+            [np.full_like(gids, -100),
+             np.where(gen_mask == 1, gen_tokens, -100)], axis=1)
+        fn = self._jit(("score_gen",), lambda: jax.jit(
+            lambda p, i, m, l: lm_sequence_logprob(
+                self.fns.gen_params(p), self.gen_cfg, i, m, l)))
+        return np.asarray(fn(params, jnp.asarray(full_ids),
+                             jnp.asarray(full_mask), jnp.asarray(labels)))

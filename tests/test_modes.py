@@ -1,0 +1,162 @@
+"""Training-mode tests: loss finiteness, gradient routing per mode, MIS
+sampler stationary-distribution property (SURVEY.md §4: property tests for
+the MIS sampler), and the full host-orchestration path via RAGModel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.data.tokenizer import SimpleTokenizer
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.models.bert import BertConfig
+from jsa_rag_tpu.models.lm import LMConfig, lm_init
+from jsa_rag_tpu.models.retriever import (
+    RetrieverConfig, DualEncoderRetriever, make_posterior,
+)
+from jsa_rag_tpu.train.modes import mis_chain, empirical_distribution
+from jsa_rag_tpu.train.rag_model import RAGModel
+
+
+# ------------------------------------------------------------------ sampler
+def test_mis_chain_uniform_lm_recovers_prior():
+    """With log_lm constant, the stationary distribution is the prior."""
+    rng = jax.random.PRNGKey(0)
+    prior = jnp.array([[0.5, 0.3, 0.15, 0.05]])
+    post = jnp.array([[0.25, 0.25, 0.25, 0.25]])
+    log_lm = jnp.zeros((1, 4))
+    sampled, rate = mis_chain(rng, post, prior, log_lm, mis_step=20000)
+    probs = np.asarray(empirical_distribution(sampled, 4))[0]
+    np.testing.assert_allclose(probs, np.asarray(prior)[0], atol=0.02)
+    assert 0 < float(rate) <= 1
+
+
+def test_mis_chain_targets_prior_times_lm():
+    """Stationary distribution ∝ prior * exp(log_lm / T_lm)."""
+    rng = jax.random.PRNGKey(1)
+    prior = jnp.array([[0.4, 0.3, 0.2, 0.1]])
+    post = jnp.array([[0.1, 0.2, 0.3, 0.4]])
+    log_lm = jnp.log(jnp.array([[0.05, 0.15, 0.3, 0.5]]))
+    sampled, _ = mis_chain(rng, post, prior, log_lm, mis_step=30000)
+    probs = np.asarray(empirical_distribution(sampled, 4))[0]
+    target = np.asarray(prior)[0] * np.exp(np.asarray(log_lm)[0])
+    target /= target.sum()
+    np.testing.assert_allclose(probs, target, atol=0.02)
+
+
+def test_mis_chain_proposal_equals_target_always_accepts():
+    """post == prior*lm (normalized) -> alpha == 1 -> accept rate 1."""
+    rng = jax.random.PRNGKey(2)
+    prior = jnp.array([[0.4, 0.3, 0.2, 0.1]])
+    log_lm = jnp.zeros((1, 4))
+    sampled, rate = mis_chain(rng, prior, prior, log_lm, mis_step=500)
+    assert float(rate) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- rag model
+TINY_BERT = BertConfig(vocab_size=500, hidden=32, layers=1, heads=4,
+                       intermediate=64, max_positions=96, pooling="mean_norm")
+TINY_LM = LMConfig(vocab_size=500, hidden=32, layers=1, heads=4, kv_heads=2,
+                   intermediate=64, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    opt = Options(
+        n_context=3, retriever_n_context=3, mis_step=8, text_maxlength=96,
+        target_maxlength=16, temperature_jsa=1.0, use_all_mis=True,
+        union_kl=True, generator_model_type="mistral", mesh_data=1,
+    )
+    tok = SimpleTokenizer(max_vocab=500)
+    store = PassageStore.synthetic(40, seed=0)
+    ret = DualEncoderRetriever(RetrieverConfig(bert=TINY_BERT, tied=False))
+    prior_params = ret.init(jax.random.PRNGKey(0))
+    params = {
+        "retriever": prior_params,
+        "post_retriever": make_posterior(prior_params, decouple=False),
+        "generator": lm_init(jax.random.PRNGKey(1), TINY_LM),
+    }
+    model = RAGModel(opt, ret, TINY_LM, tok, tok, store)
+
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_data=1, n_index=8)
+    index = ShardedFlatIndex(mesh, len(store), 32, dtype=jnp.float32,
+                             method="exact")
+    model.build_index(index, params)
+    return model, index, params
+
+
+QUERIES = ["w1 w2 question one", "w5 w9 question two"]
+TARGETS = ["w3 answer", "w7 reply"]
+
+
+def _grad_norms(g):
+    return {k: float(sum(jnp.sum(jnp.abs(x))
+                         for x in jax.tree_util.tree_leaves(v)))
+            for k, v in g.items()}
+
+
+@pytest.mark.parametrize("mode,needs", [
+    ("concat", {"generator": True, "retriever": False,
+                "post_retriever": False}),
+    ("rag", {"generator": True, "retriever": True, "post_retriever": False}),
+    ("vrag", {"generator": True, "retriever": True, "post_retriever": True}),
+    ("jsa", {"generator": True, "retriever": True, "post_retriever": True}),
+])
+def test_mode_losses_and_grad_routing(setup, mode, needs):
+    model, index, params = setup
+    rng = jax.random.PRNGKey(3)
+    batch = model.build_batch(mode, index, params, QUERIES, TARGETS)
+    vg = model.loss_and_grad_fn(mode)
+    (loss, aux), grads = vg(params, batch, rng)
+    assert np.isfinite(float(loss)), mode
+    norms = _grad_norms(grads)
+    for part, expected in needs.items():
+        if expected:
+            assert norms[part] > 0, f"{mode}: expected grads on {part}"
+        else:
+            assert norms[part] == 0, f"{mode}: unexpected grads on {part}"
+    if mode == "jsa":
+        assert 0 <= float(aux["accept_rate"]) <= 1
+    if mode == "vrag":
+        assert float(aux["KL"]) >= -1e-5
+
+
+def test_jsa_union_mask_blocks_padding(setup):
+    model, index, params = setup
+    batch = model.build_batch("jsa", index, params, QUERIES, TARGETS)
+    valid = np.asarray(batch["union_valid"])
+    assert valid.shape[1] == 2 * model.opt.n_context
+    assert valid[:, 0].all()  # at least one valid candidate per row
+
+
+def test_forward_eval_loss(setup):
+    model, index, params = setup
+    loss, aux = model.forward("rag", index, params, QUERIES, TARGETS,
+                              jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_method_generate_shapes(setup):
+    model, index, params = setup
+    ids, scores, passages = model.retrieve(index, params, QUERIES,
+                                           model.opt.n_context)
+    best, all_gen = model.method_generate(params, QUERIES, passages, scores,
+                                          max_new_tokens=4)
+    assert best.shape == (2, 4)
+    assert all_gen.shape == (2, model.opt.n_context, 4)
+
+
+def test_retrieve_with_rerank(setup):
+    model, index, params = setup
+    model.opt.retrieve_with_rerank = True
+    model.opt.n_to_rerank_with_retrieve_with_rerank = 8
+    try:
+        ids, scores, passages = model.retrieve(index, params, QUERIES, 3)
+        assert ids.shape == (2, 3)
+        # scores must be descending after rerank
+        assert np.all(np.diff(scores, axis=1) <= 1e-5)
+    finally:
+        model.opt.retrieve_with_rerank = False
