@@ -106,6 +106,16 @@ class Options:
     passages: list[str] = dataclasses.field(default_factory=list)
 
     # ----- eval (src/options.py:589-615)
+    # task-specific knobs (src/options.py modeling group)
+    min_words_per_lm_instance: int | None = None
+    min_lm_context_ratio: float = 0.5
+    max_lm_context_ratio: float = 0.5
+    mlm_noise_density: float = 0.15
+    mlm_mean_noise_span_length: float = 3.0
+    multiple_choice_num_options: int = 4
+    multiple_choice_train_permutations: str = "single"
+    multiple_choice_eval_permutations: str = "single"
+
     generation_max_length: int = 256
     generation_min_length: int | None = None
     generation_num_beams: int = 1

@@ -1,0 +1,31 @@
+"""FEVER claim verification (reference: src/tasks/fever.py)."""
+
+from __future__ import annotations
+
+from ..utils.metrics import exact_match_score
+from .base import BaseTask
+
+
+class Task(BaseTask):
+    metrics = ["accuracy"]
+
+    def __init__(self, opt=None, tokenizer=None, *args, **kwargs):
+        super().__init__()
+
+    def process(self, example, *args, **kwargs):
+        clean_input = example["claim"]
+        clean_target = ""
+        if "label" in example:
+            target = example["label"]
+            clean_target = {"NOT ENOUGH INFO": "maybe", "REFUTES": "false",
+                            "SUPPORTS": "true"}.get(target, "")
+        example["metadata"] = example.get("metadata", {})
+        example["query"] = f"question: {clean_input} answer: <extra_id_0>"
+        example["target"] = f"<extra_id_0> {clean_target}"
+        example["passages"] = [{"title": "", "text": ""}]
+        example["metadata"]["clean_target"] = clean_target
+        example["answers"] = [clean_target]
+        return example
+
+    def evaluation(self, prediction, ground_truths):
+        return {"accuracy": exact_match_score(prediction, ground_truths)}

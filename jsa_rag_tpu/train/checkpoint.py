@@ -1,0 +1,91 @@
+"""Checkpoint / resume, mirroring the reference's artifact layout.
+
+Reference (src/model_io.py:345-379): per-step directory
+``checkpoint/step-N/model.pth.tar`` holding {step, model, optimizer(s),
+scheduler(s), opt}, plus a ``latest`` symlink; retriever-encoder export dirs
+with a ``lastest`` (sic) symlink feeding the external rebuild service
+(train.py:335-372). Here:
+
+- ``save_checkpoint`` writes ``checkpoint/<name>/step-N/state.msgpack``-style
+  numpy archives (params + optimizer state as flattened pytrees) + an
+  ``options.json``, and repoints ``latest``;
+- ``load_checkpoint`` restores under any device layout (arrays are re-placed
+  by the caller's sharding);
+- ``export_retriever`` saves the query/passage towers standalone — the
+  in-process analogue of the gRPC rebuild handoff (the index rebuild itself
+  no longer needs an export, but eval/serving tooling does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)),
+                                  tree)
+
+
+def save_checkpoint(path: str, name: str, step: int, params: dict,
+                    opt_state: Any = None, options: Any = None,
+                    tokenizer: Any = None) -> str:
+    """Write step dir + repoint ``latest``. Returns the step dir path."""
+    run_dir = os.path.join(path, name)
+    step_dir = os.path.join(run_dir, f"step-{step}")
+    os.makedirs(step_dir, exist_ok=True)
+    state = {"step": step, "params": _to_host(params)}
+    if opt_state is not None:
+        state["opt_state"] = _to_host(opt_state)
+    with open(os.path.join(step_dir, "state.pkl"), "wb") as f:
+        pickle.dump(state, f, protocol=4)
+    if options is not None:
+        options.dump(os.path.join(step_dir, "options.json"))
+    if tokenizer is not None and hasattr(tokenizer, "to_dict"):
+        with open(os.path.join(step_dir, "tokenizer.json"), "w") as f:
+            json.dump(tokenizer.to_dict(), f)
+    symlink_force(f"step-{step}", os.path.join(run_dir, "latest"))
+    return step_dir
+
+
+def load_checkpoint(path: str) -> dict:
+    """``path`` may be a step dir or a run dir (follows ``latest``)."""
+    if os.path.isdir(os.path.join(path, "latest")) or os.path.islink(
+            os.path.join(path, "latest")):
+        path = os.path.join(path, "latest")
+    with open(os.path.join(path, "state.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def symlink_force(target: str, link: str) -> None:
+    """Atomic-ish symlink replace (reference: src/model_io.py:334-343)."""
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        os.unlink(link)
+        os.symlink(target, link)
+
+
+def export_retriever(path: str, step: int, retriever_params: dict,
+                     tokenizer: Any = None, prefix: str = "bge") -> None:
+    """Standalone query/passage tower export + ``lastest`` symlink
+    (train.py:335-372 exports ``bge_{passage,query}_Embedding_Ret/step-N``
+    with a ``lastest`` symlink for the gRPC rebuild service — name kept for
+    artifact-layout parity)."""
+    for tower in ("query", "passage", "shared"):
+        if tower not in retriever_params:
+            continue
+        tower_root = os.path.join(path, f"{prefix}_{tower}_Embedding_Ret")
+        step_dir = os.path.join(tower_root, f"step-{step}")
+        os.makedirs(step_dir, exist_ok=True)
+        with open(os.path.join(step_dir, "params.pkl"), "wb") as f:
+            pickle.dump(_to_host(retriever_params[tower]), f, protocol=4)
+        if tokenizer is not None and hasattr(tokenizer, "to_dict"):
+            with open(os.path.join(step_dir, "tokenizer.json"), "w") as f:
+                json.dump(tokenizer.to_dict(), f)
+        symlink_force(f"step-{step}", os.path.join(tower_root, "lastest"))

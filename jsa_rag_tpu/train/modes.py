@@ -52,6 +52,7 @@ class ApplyFns:
     union_kl: bool = True
     kl_beta: float = 1.0
     simplify_jsa: bool = False
+    decouple: bool = False
     eps: float = 1e-30
 
     def gen_params(self, params):
@@ -59,6 +60,21 @@ class ApplyFns:
             return lora_apply(params["generator"], params["lora"],
                               self.lora_cfg)
         return params["generator"]
+
+    def expand(self, params):
+        """With ``decouple_encoder`` (reference: src/retrievers.py:202-207),
+        the posterior owns only a query tower and *shares* the prior's passage
+        tower; the trainable tree stores just the query tower and the shared
+        tower is grafted in here, inside the differentiable region, so its
+        gradient accumulates from both retrievers."""
+        if not self.decouple:
+            return params
+        out = dict(params)
+        out["post_retriever"] = {
+            "query": params["post_retriever"]["query"],
+            "passage": params["retriever"]["passage"],
+        }
+        return out
 
 
 def _per_row_ce(fns: ApplyFns, params, gen_ids, gen_labels, gen_mask):
@@ -126,6 +142,7 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
     posterior's top-k weighted by the posterior distribution, plus
     KL(prior || posterior) — union-support (GetUnionKL, src/rag.py:2388-2430)
     or simple top-k support."""
+    params = fns.expand(params)
     r = fns.retriever
     prior_q = r.embed_queries(params["retriever"], batch["q_ids"],
                               batch["q_mask"])
@@ -189,6 +206,7 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
       gen_ids/gen_labels/gen_mask              — (B*U, L') generator rows,
                                                   row b*U+u = (query b, cand u)
     """
+    params = fns.expand(params)
     r = fns.retriever
     b, u, _ = batch["union_passage_ids"].shape
 

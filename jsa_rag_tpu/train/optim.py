@@ -1,0 +1,89 @@
+"""Optimizers: AdamW with two LR groups + schedules + clipping.
+
+Ports ``set_optim`` (reference: src/util.py:173-238): with
+``separate_learning_rates`` the generator (+LoRA) and the *query* towers run
+at ``lr`` while the retriever passage tower runs at ``lr_retriever`` (each
+with its own schedule); with ``query_side_retriever_training`` the whole
+retriever (its trainable query towers) moves to the retriever group. In JAX
+the two torch optimizers collapse into one ``optax.multi_transform`` over a
+label tree, and ZeRO-style optimizer sharding (fairscale OSS,
+train.py:417-435) is a sharding spec on the optimizer state, not a
+different optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+from ..config import Options
+from ..utils.schedulers import make_lr_schedule
+
+
+def _label_tree(params: dict, opt: Options) -> dict:
+    """Assign each param subtree to group 'lm', 'retr', or 'frozen',
+    mirroring src/util.py:192-219's param-group construction."""
+
+    def fill(tree, label):
+        return jax.tree_util.tree_map(lambda _: label, tree)
+
+    labels: dict[str, Any] = {}
+    for key, sub in params.items():
+        if key in ("generator", "lora"):
+            labels[key] = fill(sub, "lm")
+        elif key in ("retriever", "post_retriever"):
+            if not opt.separate_learning_rates:
+                labels[key] = fill(sub, "lm" if opt.train_retriever
+                                   else "frozen")
+            elif opt.query_side_retriever_training:
+                # query-side: whole (trainable) retriever at lr_retriever
+                labels[key] = fill(sub, "retr" if opt.train_retriever
+                                   else "frozen")
+            else:
+                lab = {}
+                for tower, tsub in sub.items():
+                    if tower == "query" or tower == "shared":
+                        lab[tower] = fill(tsub, "lm")
+                    elif key == "retriever" or opt.decouple_encoder:
+                        # prior passage tower at lr_retriever; the posterior's
+                        # own passage tower (non-decoupled) is untrained in
+                        # the reference (src/util.py:199-219) — kept frozen.
+                        lab[tower] = fill(
+                            tsub, "retr" if opt.train_retriever else "frozen")
+                    else:
+                        lab[tower] = fill(tsub, "frozen")
+                labels[key] = lab
+        else:
+            labels[key] = fill(sub, "lm")
+    return labels
+
+
+def set_optim(opt: Options, params: dict):
+    """-> (optax.GradientTransformation, label_tree). One transform, two LR
+    groups, shared clipping."""
+    sched_lm = make_lr_schedule(opt.scheduler, opt.lr, opt.warmup_steps,
+                                opt.scheduler_steps or opt.total_steps)
+    sched_retr = make_lr_schedule(opt.scheduler, opt.lr_retriever,
+                                  opt.warmup_steps,
+                                  opt.scheduler_steps or opt.total_steps)
+
+    def adamw(schedule):
+        return optax.adamw(
+            learning_rate=schedule, b1=0.9, b2=opt.beta2, eps=opt.epsilon,
+            weight_decay=opt.weight_decay,
+        )
+
+    labels = _label_tree(params, opt)
+    tx = optax.chain(
+        optax.clip_by_global_norm(opt.clip),
+        optax.multi_transform(
+            {"lm": adamw(sched_lm), "retr": adamw(sched_retr),
+             "frozen": optax.set_to_zero()},
+            labels,
+        ),
+    )
+    if opt.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.accumulation_steps)
+    return tx, labels

@@ -81,6 +81,7 @@ class RAGModel:
             union_kl=opt.union_kl,
             kl_beta=opt.kl_beta,
             simplify_jsa=opt.simplify_JSA,
+            decouple=opt.decouple_encoder,
             eps=opt.eps,
         )
         self._jit_cache: dict[Any, Any] = {}

@@ -1,0 +1,257 @@
+"""Schedulers, refresh scheduler, stats, metrics, optimizer grouping, tasks,
+checkpointing."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.utils.schedulers import IndexRefreshScheduler, make_lr_schedule
+from jsa_rag_tpu.utils.stats import WeightedAvgStats
+from jsa_rag_tpu.utils import metrics as M
+from jsa_rag_tpu.tasks import get_task
+
+
+# -------------------------------------------------------------- schedulers
+def test_refresh_scheduler_grammar():
+    s = IndexRefreshScheduler("0-100:10,100-1000000:500", -1, True)
+    assert s.is_time_to_refresh(0)
+    assert s.is_time_to_refresh(10)
+    assert not s.is_time_to_refresh(15)
+    assert s.is_time_to_refresh(100)
+    assert s.is_time_to_refresh(600)
+    assert not s.is_time_to_refresh(601)
+
+    never = IndexRefreshScheduler("-1", -1, True)
+    assert never.is_time_to_refresh(0)  # step 0 matches rate 2**32 % trick
+    assert not never.is_time_to_refresh(100)
+
+    fixed = IndexRefreshScheduler("100", -1, True)
+    assert fixed.is_time_to_refresh(200)
+    assert not fixed.is_time_to_refresh(201)
+
+    frozen = IndexRefreshScheduler("10", 50, True)
+    assert frozen.is_time_to_refresh(0)
+    assert not frozen.is_time_to_refresh(10)  # inside freeze window
+    assert frozen.is_time_to_refresh(60)
+
+    no_train = IndexRefreshScheduler("10", -1, False)
+    assert no_train.is_time_to_refresh(0)
+    assert not no_train.is_time_to_refresh(10)
+
+
+def test_lr_schedules():
+    lin = make_lr_schedule("linear", 1.0, 10, 100)
+    assert float(lin(0)) == pytest.approx(0.1)   # ratio floor at step 0
+    assert float(lin(10)) == pytest.approx(1.0)
+    assert float(lin(100)) == pytest.approx(0.1)
+    cos = make_lr_schedule("cosine", 1.0, 10, 100)
+    assert float(cos(10)) == pytest.approx(1.0)
+    assert float(cos(50)) == pytest.approx(0.1, abs=1e-5)  # floor after T/2
+    assert float(cos(99)) == pytest.approx(0.1)
+    fixed = make_lr_schedule("fixed", 2.0, 10, 100)
+    assert float(fixed(5)) == pytest.approx(1.0)
+    assert float(fixed(50)) == pytest.approx(2.0)
+
+
+def test_weighted_avg_stats():
+    s = WeightedAvgStats()
+    s.update({"a": (1.0, 1), "b": (2.0, 2)})
+    s.update({"a": (3.0, 3)})
+    assert s.stats["a"] == pytest.approx(2.5)
+    assert s.stats["b"] == pytest.approx(2.0)
+    assert s.average_stats["a"] == pytest.approx(2.5)
+    s.reset()
+    assert not s.raw_stats
+
+
+# ----------------------------------------------------------------- metrics
+def test_em_f1():
+    assert M.exact_match_score("The Cat!", ["the cat"],
+                               M.normalize_answer) == 1.0
+    assert M.exact_match_score("a dog", ["the cat"],
+                               M.normalize_answer) == 0.0
+    f = M.f1_score("the big cat", ["big cat dog"], M.normalize_answer)
+    assert 0 < f < 1
+
+
+def test_recall_and_coverage():
+    passages = ["paris is the capital of france", "rome is in italy"]
+    assert M.recall(passages, ["Paris"]) == 1.0
+    assert M.recall(passages, ["berlin"]) == 0.0
+    cov = M.coverage_at_k(passages, ["rome"], ks=(1, 2))
+    assert cov["coverage@1"] == 0.0 and cov["coverage@2"] == 1.0
+
+
+def test_mrr():
+    assert M.mrr_at_k([5, 3, 7], {3}, 10) == pytest.approx(0.5)
+    assert M.mrr_at_k([5, 3, 7], {9}, 10) == 0.0
+
+
+def test_rouge_bleu_nonzero():
+    r1, r2, rl = M.rouge_score("the cat sat", ["the cat sat"])
+    assert r1 == pytest.approx(1.0, abs=1e-6)
+    assert M.bleu_score("the cat sat on the mat",
+                        ["the cat sat on the mat"]) > 0.9
+
+
+# ------------------------------------------------------------------- optim
+def test_optimizer_label_groups():
+    from jsa_rag_tpu.train.optim import _label_tree
+
+    params = {
+        "generator": {"w": jnp.ones(2)},
+        "retriever": {"query": {"w": jnp.ones(2)},
+                      "passage": {"w": jnp.ones(2)}},
+        "post_retriever": {"query": {"w": jnp.ones(2)},
+                           "passage": {"w": jnp.ones(2)}},
+    }
+    opt = Options(separate_learning_rates=True, train_retriever=True,
+                  query_side_retriever_training=False)
+    labels = _label_tree(params, opt)
+    assert labels["generator"]["w"] == "lm"
+    assert labels["retriever"]["query"]["w"] == "lm"
+    assert labels["retriever"]["passage"]["w"] == "retr"
+    assert labels["post_retriever"]["query"]["w"] == "lm"
+    assert labels["post_retriever"]["passage"]["w"] == "frozen"
+
+    opt2 = Options(separate_learning_rates=True,
+                   query_side_retriever_training=True)
+    labels2 = _label_tree(params, opt2)
+    assert labels2["retriever"]["query"]["w"] == "retr"
+
+
+def test_optimizer_two_groups_step():
+    import optax
+    from jsa_rag_tpu.train.optim import set_optim
+
+    params = {
+        "generator": {"w": jnp.ones(4)},
+        "retriever": {"query": {"w": jnp.ones(4)},
+                      "passage": {"w": jnp.ones(4)}},
+    }
+    opt = Options(lr=1e-2, lr_retriever=1e-3, scheduler="fixed",
+                  warmup_steps=1)
+    tx, _ = set_optim(opt, params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # step 0 is inside warmup (lr factor 0, faithful to the reference
+    # schedulers); measure the second step
+    updates, state = tx.update(grads, state, params)
+    params1 = optax.apply_updates(params, updates)
+    updates, state = tx.update(grads, state, params1)
+    new = optax.apply_updates(params1, updates)
+    d_gen = float(jnp.abs(new["generator"]["w"] -
+                          params1["generator"]["w"]).mean())
+    d_ret = float(jnp.abs(new["retriever"]["passage"]["w"] -
+                          params1["retriever"]["passage"]["w"]).mean())
+    assert d_gen > d_ret > 0  # different LRs applied per group
+
+
+# ------------------------------------------------------------------- tasks
+def _opt(task):
+    return Options(task=task)
+
+
+def test_qa_task_process_and_eval():
+    t = get_task(_opt("qa"), None)
+    ex = t.process({"question": "who?", "answers": ["bob"]})
+    assert "question: who? answer:" in ex["query"]
+    assert ex["target"] == "bob"  # decoder_only strips sentinel
+    m = t.evaluation("Bob", ["bob"])
+    assert m["exact_match"] == 1.0 and m["f1"] == 1.0
+
+
+def test_base_task_data_iterator_sharding(tmp_path):
+    from jsa_rag_tpu.tasks.base import BaseTask
+
+    path = tmp_path / "d.jsonl"
+    with open(path, "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"i": i}) + "\n")
+    r0 = [e["i"] for e in BaseTask.data_iterator(str(path), 0, 2)]
+    r1 = [e["i"] for e in BaseTask.data_iterator(str(path), 1, 2)]
+    assert sorted(r0 + r1) == list(range(10))
+    assert not (set(r0) & set(r1))
+    # repeat when fewer examples than workers
+    small = tmp_path / "s.jsonl"
+    with open(small, "w") as f:
+        f.write(json.dumps({"i": 0}) + "\n")
+    got = list(BaseTask.data_iterator(str(small), 3, 4,
+                                      repeat_if_less_than_world_size=True))
+    assert len(got) >= 1
+
+
+def test_batch_iterator():
+    from jsa_rag_tpu.tasks.base import BaseTask
+
+    data = [{"a": i} for i in range(5)]
+    batches = list(BaseTask.batch_iterator(iter(data), 2))
+    assert [b["__size__"] for b in batches] == [2, 2, 1]
+    batches = list(BaseTask.batch_iterator(iter(data), 2, drop_last=True))
+    assert [b["__size__"] for b in batches] == [2, 2]
+
+
+def test_filter_results_by_id():
+    from jsa_rag_tpu.tasks.base import filter_results_by_id
+
+    passages = [[{"id": "a"}, {"id": "b"}, {"id": "c"}]]
+    scores = [[3, 2, 1]]
+    meta = [{"id": "b"}]
+    ps, ss = filter_results_by_id(meta, passages, scores, 2)
+    assert [p["id"] for p in ps[0]] == ["a", "c"]
+
+
+def test_all_tasks_instantiate():
+    tok_stub = None
+    for name in ("base", "qa", "vanilla_qa", "fever", "kilt", "lm", "mlm",
+                 "section", "multiple_choice"):
+        t = get_task(_opt(name), tok_stub)
+        assert hasattr(t, "process")
+
+
+def test_mc_permutations_and_reduce():
+    t = get_task(_opt("multiple_choice"), None)
+    ex = {"question": "q", "options": {"A": "x", "B": "y"}, "answer": "A"}
+    perms = t.get_permutations(ex, "cyclic")
+    assert len(perms) == 2
+    assert sum(p["is_original"] for p in perms) == 1
+    # answer letter follows the permuted position of the gold text
+    for p in perms:
+        assert p["options"][p["answer"]] == "x"
+
+
+def test_mlm_noise_spans():
+    t = get_task(_opt("mlm"), None)
+    text = " ".join(f"w{i}" for i in range(50))
+    inp, out = t.apply_mlm_noise(None, text, 0.2, 3.0, 512)
+    assert "<extra_id_0>" in inp and "<extra_id_0>" in out
+    # reconstruction: merging input spans and output spans recovers the text
+    assert len(inp.split()) + len(out.split()) >= 50
+
+
+# -------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    from jsa_rag_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint, export_retriever,
+    )
+
+    params = {"generator": {"w": jnp.arange(4.0)},
+              "retriever": {"query": {"w": jnp.ones(2)},
+                            "passage": {"w": jnp.zeros(2)}}}
+    opt = Options()
+    save_checkpoint(str(tmp_path), "run", 5, params, opt_state=None,
+                    options=opt)
+    save_checkpoint(str(tmp_path), "run", 10, params)
+    state = load_checkpoint(str(tmp_path / "run"))
+    assert state["step"] == 10
+    np.testing.assert_array_equal(state["params"]["generator"]["w"],
+                                  np.arange(4.0))
+    assert os.path.islink(tmp_path / "run" / "latest")
+
+    export_retriever(str(tmp_path), 10, params["retriever"])
+    assert os.path.islink(tmp_path / "bge_query_Embedding_Ret" / "lastest")
