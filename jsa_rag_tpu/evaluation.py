@@ -1,0 +1,177 @@
+"""Evaluation harness (reference: evaluate.py:30-386).
+
+Per batch: retrieve top-k -> rescore with live towers -> substring-recall
+bookkeeping -> eval loss (generator CE on gold target) -> generation
+(concat prompt or fast-decode best-of-K) -> task metrics; distributed
+averaging and rank-merged prediction files follow the reference
+(src/util.py:337-375). ``run_retrieval_only`` ports evaluate.py:60-102.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Options
+from .models.lm import lm_loss
+from .tasks import get_task
+from .utils import metrics as M
+from .utils.stats import WeightedAvgStats, weighted_average
+from .train.rag_model import RAGModel
+
+logger = logging.getLogger(__name__)
+
+
+def _answers_of(batch, i):
+    if "answers" in batch and batch["answers"]:
+        a = batch["answers"][i]
+        return a if isinstance(a, list) else [a]
+    return [batch["target"][i]]
+
+
+def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
+             step: int = 0, write_results: bool | None = None) -> dict:
+    task = get_task(opt, model.generator_tokenizer)
+    metrics: dict[str, list] = {k: [] for k in task.metrics}
+    metrics["retrieval_recall"] = []
+    dataset_wpred = []
+    mode_eval_loss = model._jit(("eval_ce",), lambda: jax.jit(
+        lambda p, ids, mask, labels: lm_loss(
+            model.fns.gen_params(p), model.gen_cfg, ids, mask, labels)[0]))
+
+    data_iterator = task.data_iterator(
+        data_path, jax.process_index(), jax.process_count(),
+        repeat_if_less_than_world_size=True, opt=opt, is_eval=True)
+    data_iterator = filter(None, map(task.process, data_iterator))
+    batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
+
+    for batch in batches:
+        queries, targets = batch["query"], batch["target"]
+        if opt.use_file_passages:
+            passages = [p[: opt.n_context] for p in batch["passages"]]
+            ret_scores = np.zeros((len(queries), len(passages[0])),
+                                  np.float32)
+        else:
+            _, ret_scores, passages = model.retrieve(
+                index, params, queries, opt.n_context)
+
+        # substring recall over retrieved passages (evaluate.py:206-209)
+        for i in range(len(queries)):
+            texts = [p.get("text", "") for p in passages[i]]
+            metrics["retrieval_recall"].append(
+                M.recall(texts, _answers_of(batch, i)))
+
+        # eval loss: generator CE of the gold target given each passage
+        from .data.prompts import build_training_batch
+
+        ids, labels, mask = build_training_batch(
+            model.generator_tokenizer, queries, passages, targets,
+            model.prompt_cfg)
+        per_seq = np.asarray(mode_eval_loss(
+            params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(labels)))
+        if "eval_loss" in metrics:
+            metrics["eval_loss"].extend(
+                per_seq.reshape(len(queries), -1).mean(-1).tolist())
+
+        # generation
+        if opt.gen_method == "concat" or opt.concat_doc:
+            gen = model.generate(params, queries, passages,
+                                 max_new_tokens=opt.generation_max_length)
+            if not opt.concat_doc:
+                # per-passage prompts produce B*K rows; keep each query's
+                # top-ranked-passage row
+                k = len(passages[0])
+                best = gen.reshape(len(queries), k, -1)[:, 0]
+            else:
+                best = gen
+        else:
+            best, _ = model.method_generate(
+                params, queries, passages, ret_scores,
+                max_new_tokens=opt.generation_max_length)
+        for i in range(len(queries)):
+            pred = model.generator_tokenizer.decode(best[i]).strip()
+            gold = _answers_of(batch, i)
+            for k, v in task.evaluation(pred, gold).items():
+                if k in metrics:
+                    metrics[k].append(v)
+            ex = {"query": queries[i], "generation": pred, "answers": gold,
+                  "passages": passages[i][:3]}
+            if "metadata" in batch:
+                ex["metadata"] = batch["metadata"][i]
+            dataset_wpred.append(ex)
+
+    metrics, dataset_wpred = task.evaluation_postprocessing(metrics,
+                                                            dataset_wpred)
+    avg = {}
+    for k, v in metrics.items():
+        if len(v) == 0:
+            continue
+        avg[k], _ = weighted_average(float(np.mean(v)), len(v))
+    if write_results or (write_results is None and opt.write_results):
+        save_distributed_dataset(dataset_wpred, os.path.basename(data_path),
+                                 opt)
+    return avg
+
+
+def run_retrieval_only(model: RAGModel, index, params, opt: Options,
+                       data_path: str, step: int = 0) -> dict:
+    """Retrieval-only eval (evaluate.py:60-102): substring recall and
+    coverage@k of the top retriever_n_context passages."""
+    task = get_task(opt, model.generator_tokenizer)
+    stats = WeightedAvgStats()
+    data_iterator = task.data_iterator(
+        data_path, jax.process_index(), jax.process_count(), opt=opt,
+        is_eval=True)
+    data_iterator = filter(None, map(task.process, data_iterator))
+    batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
+    t0 = time.time()
+    n = 0
+    for batch in batches:
+        queries = batch["query"]
+        _, _, passages = model.retrieve(index, params, queries,
+                                        opt.retriever_n_context)
+        for i in range(len(queries)):
+            texts = [p.get("text", "") for p in passages[i]]
+            gold = _answers_of(batch, i)
+            stats.update({"recall": (M.recall(texts, gold), 1)})
+            stats.update({k: (v, 1) for k, v in
+                          M.coverage_at_k(texts, gold).items()})
+            n += 1
+    out = stats.average_stats
+    out["queries_per_sec"] = n / max(time.time() - t0, 1e-9)
+    return out
+
+
+def save_distributed_dataset(data, dataset_name, opt: Options):
+    """Rank-local tmp json -> process-0 merged jsonl
+    (src/util.py:337-362)."""
+    dir_path = os.path.join(opt.checkpoint_dir, opt.name)
+    write_path = os.path.join(dir_path, "tmp_dir")
+    os.makedirs(write_path, exist_ok=True)
+    tmp_path = os.path.join(write_path, f"{jax.process_index()}.json")
+    with open(tmp_path, "w") as fw:
+        json.dump(data, fw)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_distributed_dataset")
+    if jax.process_index() == 0:
+        final_path = os.path.join(dir_path, f"{dataset_name}.jsonl")
+        logger.info("Writing dataset with scores at %s", final_path)
+        alldata = []
+        for name in sorted(os.listdir(write_path)):
+            path = os.path.join(write_path, name)
+            with open(path) as f:
+                alldata.extend(json.load(f))
+            os.unlink(path)
+        with open(final_path, "w") as fout:
+            for ex in alldata:
+                fout.write(json.dumps(ex, ensure_ascii=False) + "\n")
+        os.rmdir(write_path)

@@ -34,7 +34,8 @@ def _to_host(tree):
 
 def save_checkpoint(path: str, name: str, step: int, params: dict,
                     opt_state: Any = None, options: Any = None,
-                    tokenizer: Any = None) -> str:
+                    tokenizer: Any = None,
+                    retriever_tokenizer: Any = None) -> str:
     """Write step dir + repoint ``latest``. Returns the step dir path."""
     run_dir = os.path.join(path, name)
     step_dir = os.path.join(run_dir, f"step-{step}")
@@ -46,11 +47,32 @@ def save_checkpoint(path: str, name: str, step: int, params: dict,
         pickle.dump(state, f, protocol=4)
     if options is not None:
         options.dump(os.path.join(step_dir, "options.json"))
-    if tokenizer is not None and hasattr(tokenizer, "to_dict"):
-        with open(os.path.join(step_dir, "tokenizer.json"), "w") as f:
-            json.dump(tokenizer.to_dict(), f)
+    for tok, fname in ((tokenizer, "tokenizer.json"),
+                       (retriever_tokenizer, "retriever_tokenizer.json")):
+        if tok is not None and hasattr(tok, "to_dict"):
+            with open(os.path.join(step_dir, fname), "w") as f:
+                json.dump(tok.to_dict(), f)
     symlink_force(f"step-{step}", os.path.join(run_dir, "latest"))
     return step_dir
+
+
+def load_tokenizers_from_checkpoint(path: str):
+    """Restore SimpleTokenizer vocabs saved next to a checkpoint. Returns
+    (generator_tok | None, retriever_tok | None)."""
+    from ..data.tokenizer import SimpleTokenizer
+
+    if os.path.isdir(os.path.join(path, "latest")) or os.path.islink(
+            os.path.join(path, "latest")):
+        path = os.path.join(path, "latest")
+    out = []
+    for fname in ("tokenizer.json", "retriever_tokenizer.json"):
+        p = os.path.join(path, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                out.append(SimpleTokenizer.from_dict(json.load(f)))
+        else:
+            out.append(None)
+    return tuple(out)
 
 
 def load_checkpoint(path: str) -> dict:

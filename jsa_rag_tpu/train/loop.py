@@ -1,0 +1,149 @@
+"""Training loop (reference: train.py:113-377).
+
+Owns: initial index build, refresh scheduling, optimizer stepping, periodic
+eval/save/retriever-export, stats and logging. Differences by design:
+
+- index (re)build is an in-process jitted embed+scatter (no gRPC/HTTP hop,
+  no fire-and-forget mp.Process — the refresh runs under the same mesh);
+- grads/optimizer are one jitted update; accumulation via optax.MultiSteps;
+- the reference's per-step matplotlib PNGs (train.py:297-305) are dropped
+  deliberately (SURVEY.md §5.5 calls this out as a quirk, not a feature);
+  scalars go to the log + an optional jsonl metrics file instead.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+
+from ..config import Options
+from ..tasks import get_task
+from ..utils.schedulers import IndexRefreshScheduler
+from ..utils.stats import WeightedAvgStats
+from .checkpoint import export_retriever, save_checkpoint
+from .rag_model import RAGModel
+
+logger = logging.getLogger(__name__)
+
+
+def train_mode_of(opt: Options) -> str:
+    return "concat" if opt.gen_method == "concat" else opt.gold_score_mode
+
+
+def train(
+    model: RAGModel,
+    index,
+    params: dict,
+    tx,
+    opt_state,
+    opt: Options,
+    step: int = 0,
+    evaluate_fn=None,
+    checkpoint_path: str | None = None,
+):
+    """Run the training loop; returns (params, opt_state, final_step)."""
+    run_stats = WeightedAvgStats()
+    checkpoint_path = checkpoint_path or os.path.join(opt.checkpoint_dir,
+                                                      opt.name)
+    os.makedirs(checkpoint_path, exist_ok=True)
+    metrics_log = open(os.path.join(checkpoint_path, "metrics.jsonl"), "a")
+
+    mode = train_mode_of(opt)
+    if not opt.use_file_passages and opt.load_index_path is None:
+        t0 = time.time()
+        model.build_index(index, params)
+        logger.info("Initial indexing time: %.3f min", (time.time() - t0) / 60)
+
+    task = get_task(opt, model.generator_tokenizer)
+    refresh = IndexRefreshScheduler(opt.refresh_index,
+                                    opt.freeze_retriever_steps,
+                                    opt.train_retriever)
+    vg = model.loss_and_grad_fn(mode)
+
+    @jax.jit
+    def apply_update(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    rng = jax.random.PRNGKey(opt.seed + jax.process_index())
+    epoch = 0
+    while step < opt.total_steps:
+        epoch += 1
+        data_iterator = task.data_iterator(
+            opt.train_data, jax.process_index(), jax.process_count(),
+            repeat_if_less_than_world_size=True, opt=opt)
+        data_iterator = filter(None, map(task.process, data_iterator))
+        batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size,
+                                      drop_last=True, shuffle=True)
+        for batch in batches:
+            iter_stats: dict = {}
+            step += 1
+            t_step = time.time()
+
+            if (not opt.use_file_passages and
+                    refresh.is_time_to_refresh(step)):
+                if not (step == 0 and opt.load_index_path is not None):
+                    t0 = time.time()
+                    model.build_index(index, params, iter_stats)
+                    iter_stats["runtime/indexing"] = (time.time() - t0, 1)
+
+            queries, targets = batch["query"], batch["target"]
+            rng, sub = jax.random.split(rng)
+            t0 = time.time()
+            train_batch = model.build_batch(mode, index, params, queries,
+                                            targets, iter_stats)
+            iter_stats["runtime/retrieve+tokenize"] = (time.time() - t0, 1)
+
+            t0 = time.time()
+            (loss, aux), grads = vg(params, train_batch, sub)
+            params, opt_state = apply_update(params, opt_state, grads)
+            loss = float(loss)
+            iter_stats["runtime/fwdbwd+update"] = (time.time() - t0, 1)
+            iter_stats["runtime/train_step"] = (time.time() - t_step, 1)
+            iter_stats["loss/train_loss"] = (loss, len(queries))
+            for k, v in aux.items():
+                iter_stats[k] = (float(v), len(queries))
+            run_stats.update(iter_stats)
+
+            if step % opt.log_freq == 0:
+                avg = run_stats.average_stats
+                log = f"EPOCH:{epoch} | {step}/{opt.total_steps}"
+                log += f" | train_loss:{loss:.4f}"
+                if "loss/generator_loss" in avg:
+                    log += f" | gen_loss:{avg['loss/generator_loss']:.4f}"
+                if "accept_rate" in avg:
+                    log += f" | accept_rate:{avg['accept_rate']:.3f}"
+                logger.info(log)
+                metrics_log.write(json.dumps(
+                    {"step": step, **{k: float(v) for k, v in avg.items()}})
+                    + "\n")
+                metrics_log.flush()
+                run_stats.reset()
+
+            if evaluate_fn is not None and step % opt.eval_freq == 0:
+                for data_path in opt.eval_data:
+                    metrics = evaluate_fn(model, index, params, opt,
+                                          data_path, step)
+                    name = os.path.basename(data_path)
+                    logger.info("Dataset: %s | %s", name, " | ".join(
+                        f"{v:.3f} {k}" for k, v in metrics.items()))
+
+            if step % opt.save_freq == 0 and jax.process_index() == 0:
+                save_checkpoint(opt.checkpoint_dir, opt.name, step, params,
+                                opt_state if opt.save_optimizer else None,
+                                options=opt,
+                                tokenizer=model.generator_tokenizer,
+                                retriever_tokenizer=model.retriever_tokenizer)
+                export_retriever(checkpoint_path, step, params["retriever"],
+                                 tokenizer=model.retriever_tokenizer)
+
+            if step >= opt.total_steps:
+                break
+    metrics_log.close()
+    return params, opt_state, step

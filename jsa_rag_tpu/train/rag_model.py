@@ -275,6 +275,11 @@ class RAGModel:
     # ------------------------------------------------------------- loss/grads
     def loss_and_grad_fn(self, mode: str):
         """Cached jitted value_and_grad of the mode loss."""
+        if mode not in MODE_LOSSES:
+            raise ValueError(
+                f"unknown training mode {mode!r}; expected one of "
+                f"{sorted(MODE_LOSSES)} (gold_score_mode / gen_method)")
+
         def make():
             loss = functools.partial(MODE_LOSSES[mode], self.fns)
             return jax.jit(jax.value_and_grad(loss, has_aux=True))

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Training entry point (reference: train.py:379-478).
+
+Example (synthetic smoke run, one chip or CPU):
+  python train.py --name smoke --task qa --gold_score_mode jsa \
+      --train_data data/train.jsonl --eval_data data/dev.jsonl \
+      --passages data/passages.jsonl --total_steps 50 --model_size tiny
+
+The reference's SLURM/torchrun bootstrap + NCCL/gloo process groups
+(src/slurm.py) collapse into ``jax.distributed.initialize`` + one device
+mesh; the gRPC/HTTP index services (train.py:401-409) collapse into the
+in-process sharded index.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.evaluation import evaluate
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.model_io import load_or_initialize_model
+from jsa_rag_tpu.parallel.mesh import make_mesh, multihost_init
+from jsa_rag_tpu.train.loop import train
+from jsa_rag_tpu.train.optim import set_optim
+
+logger = logging.getLogger("train")
+
+
+def init_logger(opt: Options) -> None:
+    os.makedirs(os.path.join(opt.checkpoint_dir, opt.name), exist_ok=True)
+    handlers = [logging.StreamHandler(sys.stdout),
+                logging.FileHandler(os.path.join(
+                    opt.checkpoint_dir, opt.name, "run.log"))]
+    logging.basicConfig(
+        level=logging.INFO if jax.process_index() == 0 else logging.WARNING,
+        format="%(asctime)s | %(name)s | %(message)s", handlers=handlers)
+
+
+def build_index_for(opt: Options, model, mesh):
+    dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+             "float32": jnp.float32}[opt.index_dtype]
+    dim = model.retriever.cfg.bert.hidden
+    n = len(model.store)
+    if opt.index_mode == "ivf":
+        from jsa_rag_tpu.index.ivf import ShardedIVFIndex
+
+        return ShardedIVFIndex(mesh, n, dim, dtype=dtype,
+                               n_lists=opt.ivf_n_lists or None,
+                               n_probe=opt.ivf_n_probe or None)
+    return ShardedFlatIndex(mesh, n, dim, dtype=dtype)
+
+
+def main(argv=None) -> None:
+    opt = Options.from_args(argv)
+    multihost_init()
+    init_logger(opt)
+    opt.dump(os.path.join(opt.checkpoint_dir, opt.name, "options.json"))
+    logger.info("devices: %s", jax.devices())
+
+    mesh = make_mesh(n_data=opt.mesh_data,
+                     n_index=opt.mesh_index or None)
+    store = PassageStore.from_jsonl(opt.passages) if opt.passages else \
+        PassageStore.synthetic(1024, seed=opt.seed)
+    model, params, step = load_or_initialize_model(opt, store)
+
+    if opt.load_index_path:
+        index = ShardedFlatIndex.load(opt.load_index_path, mesh)
+    else:
+        index = build_index_for(opt, model, mesh)
+
+    tx, _ = set_optim(opt, params)
+    opt_state = tx.init(params)
+
+    params, opt_state, step = train(
+        model, index, params, tx, opt_state, opt, step=step,
+        evaluate_fn=evaluate,
+    )
+    if opt.save_index_path and jax.process_index() == 0:
+        index.save(opt.save_index_path, n_files=opt.save_index_n_shards)
+    logger.info("done at step %d", step)
+
+
+if __name__ == "__main__":
+    main()
