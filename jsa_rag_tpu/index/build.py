@@ -57,6 +57,10 @@ def build_index(
         emb = encode_fn(jnp.asarray(ids), jnp.asarray(mask))
         index.set_embeddings(start, emb[: stop - start])
         start = stop
+    if hasattr(index, "finalize"):
+        # coarse-quantized indexes cluster after the embed sweep (the
+        # reference trains FAISS post-fill, src/rag.py:122-130)
+        index.finalize()
     total = time.time() - t0
     return {
         "runtime/indexing": (total, 1),

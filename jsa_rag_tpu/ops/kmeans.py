@@ -1,0 +1,74 @@
+"""On-device k-means (Lloyd's) for IVF coarse quantization.
+
+Replaces FAISS's CPU/GPU IVF training (reference: src/index.py:367-389
+``train_index_bychunks`` feeding faiss ``index.train``): here assignment is a
+chunked MXU matmul + argmax and the update is a segment-sum — everything
+jitted, no host round-trips per iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "chunk"))
+def kmeans(
+    embeddings: jax.Array,  # (N, d), any float dtype
+    key: jax.Array,
+    n_clusters: int,
+    iters: int = 10,
+    chunk: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (centroids (C, d) f32, assignments (N,) int32).
+
+    Inner-product assignment (the index is MIPS; with L2-normalized
+    embeddings this is spherical k-means). Empty clusters keep their previous
+    centroid.
+    """
+    n, d = embeddings.shape
+    emb = embeddings.astype(jnp.float32)
+    init_idx = jax.random.choice(key, n, (n_clusters,), replace=False)
+    centroids = emb[init_idx]
+
+    pad = (-n) % chunk
+    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
+    n_chunks = emb_p.shape[0] // chunk
+    emb_c = emb_p.reshape(n_chunks, chunk, d)
+    valid = (jnp.arange(n_chunks * chunk) < n).reshape(n_chunks, chunk)
+
+    def assign_chunk(centroids, e):
+        s = jax.lax.dot_general(
+            e, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.argmax(s, axis=-1).astype(jnp.int32)
+
+    def step(centroids, _):
+        def body(carry, inp):
+            sums, counts = carry
+            e, v = inp
+            a = assign_chunk(centroids, e)
+            onehot_counts = jax.ops.segment_sum(
+                v.astype(jnp.float32), a, n_clusters)
+            seg = jax.ops.segment_sum(e * v[:, None], a, n_clusters)
+            return (sums + seg, counts + onehot_counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((n_clusters, d), jnp.float32),
+             jnp.zeros((n_clusters,), jnp.float32)),
+            (emb_c, valid))
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+
+    def final_assign(carry, inp):
+        e, _ = inp
+        return carry, assign_chunk(centroids, e)
+
+    _, assigns = jax.lax.scan(final_assign, None, (emb_c, valid))
+    return centroids, assigns.reshape(-1)[:n]
