@@ -26,6 +26,7 @@ class Options:
     per_gpu_batch_size: int = 1
     per_gpu_embedder_batch_size: int = 512
     log_freq: int = 100
+    log_detail_num: int = 0  # dump training_info_step{N}.json for first N
     eval_freq: int = 500
     save_freq: int = 5000
     seed: int = 0

@@ -96,20 +96,37 @@ def train(
             queries, targets = batch["query"], batch["target"]
             rng, sub = jax.random.split(rng)
             t0 = time.time()
-            train_batch = model.build_batch(mode, index, params, queries,
-                                            targets, iter_stats)
+            with jax.profiler.TraceAnnotation("retrieve+tokenize"):
+                train_batch = model.build_batch(mode, index, params, queries,
+                                                targets, iter_stats)
             iter_stats["runtime/retrieve+tokenize"] = (time.time() - t0, 1)
 
             t0 = time.time()
-            (loss, aux), grads = vg(params, train_batch, sub)
-            params, opt_state = apply_update(params, opt_state, grads)
+            with jax.profiler.StepTraceAnnotation("train", step_num=step):
+                (loss, aux), grads = vg(params, train_batch, sub)
+                params, opt_state = apply_update(params, opt_state, grads)
             loss = float(loss)
             iter_stats["runtime/fwdbwd+update"] = (time.time() - t0, 1)
             iter_stats["runtime/train_step"] = (time.time() - t_step, 1)
             iter_stats["loss/train_loss"] = (loss, len(queries))
+            debug_aux = {}
             for k, v in aux.items():
-                iter_stats[k] = (float(v), len(queries))
+                if k.startswith("debug/"):
+                    debug_aux[k] = np.asarray(v).tolist()
+                else:
+                    iter_stats[k] = (float(v), len(queries))
             run_stats.update(iter_stats)
+
+            if step <= opt.log_detail_num:
+                # step-level introspection dump (reference: train.py:228-230
+                # writes training_info_step{N}.json for --log_detail_num)
+                info = dict(getattr(model, "last_info", {}))
+                info.update(debug_aux)
+                info["loss"] = loss
+                with open(os.path.join(
+                        checkpoint_path,
+                        f"training_info_step{step}.json"), "w") as f:
+                    json.dump(info, f, indent=1)
 
             if step % opt.log_freq == 0:
                 avg = run_stats.average_stats

@@ -53,6 +53,8 @@ class ApplyFns:
     kl_beta: float = 1.0
     simplify_jsa: bool = False
     decouple: bool = False
+    contrastive: bool = False
+    reduce_norm: bool = False
     eps: float = 1e-30
 
     def gen_params(self, params):
@@ -261,15 +263,55 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
             probabilities = jnp.where(
                 probabilities >= thresh[:, None], probabilities, 0.0)
 
-    log_prior = _safe_log(prior_probs + fns.eps)
-    log_post = _safe_log(post_probs + fns.eps)
-    loss = jnp.mean(jnp.sum(
-        probabilities * (ce - log_prior - log_post), axis=-1))
-    gen_loss_stat = jnp.mean(jnp.sum(probabilities * ce, axis=-1))
+    gen_term = jnp.sum(probabilities * ce, axis=-1)  # (B,)
+    if fns.contrastive:
+        # contrastive retriever objective (src/rag.py:2016-2032): expected
+        # log-softmax of the sampled candidates against negatives. Deviation:
+        # negatives are the other union candidates (already scored) rather
+        # than fresh random draws from the top-100 — same normalizer shape,
+        # no extra encoder forwards.
+        retr_term = (
+            jnp.sum(probabilities * jax.nn.log_softmax(prior_logits, -1), -1)
+            + jnp.sum(probabilities * jax.nn.log_softmax(post_logits, -1), -1)
+        )
+    elif fns.reduce_norm:
+        # norm-control objective (src/rag.py:2042-2068): raw-score contrast
+        # with the query embedding detached, positives weighted by the chain
+        # distribution and negatives by each retriever's own distribution
+        # (expectation form of the reference's sampled negatives).
+        prior_raw = jnp.where(
+            valid, _doc_scores(jax.lax.stop_gradient(prior_q), union_emb),
+            0.0)
+        post_raw = jnp.where(
+            valid, _doc_scores(jax.lax.stop_gradient(post_q), union_emb),
+            0.0)
+        prior_obj = (jnp.sum(probabilities * prior_raw, -1)
+                     - jnp.sum(prior_sg * prior_raw, -1))
+        post_obj = (jnp.sum(probabilities * post_raw, -1)
+                    - jnp.sum(post_sg * post_raw, -1))
+        retr_term = (
+            jnp.sum(probabilities * _safe_log(prior_probs + fns.eps), -1)
+            + prior_obj
+            + jnp.sum(probabilities * _safe_log(post_probs + fns.eps), -1)
+            + post_obj
+        )
+    else:
+        retr_term = jnp.sum(
+            probabilities * (_safe_log(prior_probs + fns.eps)
+                             + _safe_log(post_probs + fns.eps)), axis=-1)
+    loss = jnp.mean(gen_term - retr_term)
+    gen_loss_stat = jnp.mean(gen_term)
     return loss, {
         "loss/generator_loss": gen_loss_stat,
         "accept_rate": accept_rate,
         "train/post_entropy": _entropy(post_sg),
+        # first-example introspection arrays for training_info dumps
+        # (reference: training_info 'Prior_probs'/'Post_probs'/
+        # 'Proposed_log_lm_probs', src/rag.py:1884-1916)
+        "debug/prior_probs": prior_sg[0],
+        "debug/post_probs": post_sg[0],
+        "debug/log_lm": log_lm[0],
+        "debug/sample_probs": probabilities[0],
     }
 
 

@@ -82,6 +82,8 @@ class RAGModel:
             kl_beta=opt.kl_beta,
             simplify_jsa=opt.simplify_JSA,
             decouple=opt.decouple_encoder,
+            contrastive=opt.contrastive_learning,
+            reduce_norm=opt.reduce_norm,
             eps=opt.eps,
         )
         self._jit_cache: dict[Any, Any] = {}
@@ -93,8 +95,11 @@ class RAGModel:
         return ids, mask
 
     def passage_texts(self, ids_matrix: np.ndarray) -> list[list[dict]]:
-        """(B, K) global passage ids -> passages (host-side resolution)."""
-        return [[self.store[int(i)] for i in row] for row in ids_matrix]
+        """(B, K) global passage ids -> passages (host-side resolution).
+        Each dict carries its global id as ``_gid`` so downstream filters can
+        hand back id-aligned results."""
+        return [[dict(self.store[int(i)], _gid=int(i)) for i in row]
+                for row in ids_matrix]
 
     def _tokenize_passage_matrix(self, passages: list[list[dict]]):
         """(B, K) passages -> (B, K, L) retriever token arrays."""
@@ -120,21 +125,38 @@ class RAGModel:
         return fn(tower, jnp.asarray(ids), jnp.asarray(mask))
 
     def retrieve(self, index, params, queries: list[str], topk: int,
-                 posterior: bool = False, iter_stats: dict | None = None):
+                 posterior: bool = False, iter_stats: dict | None = None,
+                 batch_metadata=None, filtering_fun=None):
         """Query the in-process sharded index; returns (ids (B,k) np,
         scores (B,k) np, passages). Reference: RAG._retrieve + search_knn
-        (src/rag.py:134-174, src/index.py:124-158)."""
+        (src/rag.py:134-174, src/index.py:124-158). ``filtering_fun`` is the
+        task's anti-cheat filter (src/tasks/base.py:97-132) — retrieval
+        over-fetches so filtered results still fill topk."""
         t0 = time.time()
         q_emb = self.embed_queries(params, queries, posterior=posterior)
+        fetch_k = topk + (8 if filtering_fun is not None else 0)
         if self.opt.retrieve_with_rerank:
-            ids, scores = self._retrieve_rerank(index, params, q_emb, topk,
-                                                posterior)
+            ids, scores = self._retrieve_rerank(index, params, q_emb,
+                                                fetch_k, posterior)
         else:
-            scores, ids = index.search(q_emb, topk)
+            scores, ids = index.search(q_emb, fetch_k)
             ids, scores = np.asarray(ids), np.asarray(scores)
+        passages = self.passage_texts(ids)
+        if filtering_fun is not None:
+            passages, score_lists = filtering_fun(
+                batch_metadata, passages,
+                [s.tolist() for s in scores], topk)
+            passages = [list(p) for p in passages]
+            scores = np.asarray([list(s) for s in score_lists], np.float32)
+            ids = np.asarray(
+                [[int(p.get("_gid", -1)) if "_gid" in p else -1
+                  for p in row] for row in passages], np.int64)
+        else:
+            ids, scores = ids[:, :topk], scores[:, :topk]
+            passages = [row[:topk] for row in passages]
         if iter_stats is not None:
             iter_stats["runtime/search"] = (time.time() - t0, 1)
-        return ids, scores, self.passage_texts(ids)
+        return ids, scores, passages
 
     def _retrieve_rerank(self, index, params, q_emb, topk, posterior):
         """retrieve_with_rerank (src/rag.py:177-247): over-retrieve
@@ -231,6 +253,16 @@ class RAGModel:
             iter_stats=iter_stats)
         prior_ids_np, _, prior_passages = self.retrieve(
             index, params, queries, topk, iter_stats=iter_stats)
+        # first-example retrieval snapshot for training_info dumps
+        # (reference: train.py:228-230 / src/rag.py:691-696)
+        self.last_info = {
+            "query": queries[0],
+            "response": targets[0],
+            "prior_retrieved_ids": prior_ids_np[0].tolist(),
+            "post_retrieved_ids": post_ids_np[0].tolist(),
+            "prior_retrieved_texts": [p.get("text", "")
+                                      for p in prior_passages[0]],
+        }
         q_ids, q_mask = self.retriever_tokenize(queries)
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
 

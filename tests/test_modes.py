@@ -160,3 +160,58 @@ def test_retrieve_with_rerank(setup):
         assert np.all(np.diff(scores, axis=1) <= 1e-5)
     finally:
         model.opt.retrieve_with_rerank = False
+
+
+@pytest.mark.parametrize("variant", ["contrastive", "reduce_norm",
+                                     "simplify", "mis_topk", "non_all_mis"])
+def test_jsa_variants(setup, variant):
+    """JSA option matrix (reference flags: contrastive_learning,
+    reduce_norm, simplify_JSA, mis_topk, use_all_mis)."""
+    import dataclasses
+    model, index, params = setup
+    fns = model.fns
+    if variant == "contrastive":
+        fns = dataclasses.replace(fns, contrastive=True)
+    elif variant == "reduce_norm":
+        fns = dataclasses.replace(fns, reduce_norm=True)
+    elif variant == "simplify":
+        fns = dataclasses.replace(fns, simplify_jsa=True)
+    elif variant == "mis_topk":
+        fns = dataclasses.replace(fns, mis_topk=2)
+    elif variant == "non_all_mis":
+        fns = dataclasses.replace(fns, use_all_mis=False)
+    from jsa_rag_tpu.train.modes import jsa_loss
+    import functools
+    batch = model.build_batch("jsa", index, params, QUERIES, TARGETS)
+    vg = jax.jit(jax.value_and_grad(functools.partial(jsa_loss, fns),
+                                    has_aux=True))
+    (loss, aux), grads = vg(params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)), variant
+    norms = _grad_norms(grads)
+    assert norms["generator"] > 0
+    assert norms["retriever"] > 0
+    assert norms["post_retriever"] > 0
+
+
+def test_jsa_decoupled_shared_tower_grads(setup):
+    """decouple_encoder: posterior query tower trains; the shared passage
+    tower accumulates gradient from both retrievers."""
+    import dataclasses, functools
+    from jsa_rag_tpu.train.modes import jsa_loss
+    model, index, params = setup
+    fns = dataclasses.replace(model.fns, decouple=True)
+    dec_params = {
+        "generator": params["generator"],
+        "retriever": params["retriever"],
+        "post_retriever": {"query": params["post_retriever"]["query"]},
+    }
+    batch = model.build_batch("jsa", index, dec_params, QUERIES, TARGETS)
+    vg = jax.jit(jax.value_and_grad(functools.partial(jsa_loss, fns),
+                                    has_aux=True))
+    (loss, aux), grads = vg(dec_params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert "passage" not in grads["post_retriever"]
+    g_shared = float(sum(jnp.sum(jnp.abs(x)) for x in
+                         jax.tree_util.tree_leaves(
+                             grads["retriever"]["passage"])))
+    assert g_shared > 0
