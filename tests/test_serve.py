@@ -1,0 +1,71 @@
+"""HTTP index server + client roundtrip (reference parity:
+build_server/server_start.py endpoints, src/post.py client)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.serve import IndexServer, call_retrieve_api, call_rebuild_api
+
+
+@pytest.fixture(scope="module")
+def server(mesh_flat):
+    rng = np.random.default_rng(0)
+    n, d = 64, 16
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    store = PassageStore.synthetic(n, seed=0)
+    index = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32,
+                             method="exact")
+    index.set_embeddings(0, e)
+    rebuilt = []
+
+    def rebuild_fn(load_dir):
+        rebuilt.append(load_dir)
+        index.set_embeddings(0, e * 2.0)  # visible change
+
+    srv = IndexServer(index, store, d, rebuild_fn=rebuild_fn, port=0)
+    port = srv.start()
+    yield srv, e, store, rebuilt, f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def test_retrieve_roundtrip(server):
+    srv, e, store, _, url = server
+    q = e[[3, 10]]
+    docs, scores = call_retrieve_api(q, topk=3, url=url)
+    assert len(docs) == 2 and len(docs[0]) == 3
+    assert docs[0][0]["id"] == store[3]["id"]
+    assert docs[1][0]["id"] == store[10]["id"]
+    assert scores[0][0] >= scores[0][1] >= scores[0][2]
+
+
+def test_rebuild_endpoint(server):
+    srv, e, store, rebuilt, url = server
+    out = call_rebuild_api("some/dir", url=url)
+    assert out == {"status": "ok"}
+    assert rebuilt == ["some/dir"]
+
+
+def test_health_and_errors(server):
+    import json
+    import urllib.request
+    import urllib.error
+
+    srv, e, store, _, url = server
+    with urllib.request.urlopen(f"{url}/health") as r:
+        h = json.loads(r.read())
+    assert h["n_passages"] == len(store)
+    # malformed body -> 400
+    req = urllib.request.Request(
+        f"{url}/retrieve", data=b"not json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    # unknown endpoint -> 404
+    req = urllib.request.Request(f"{url}/nope", data=b"{}", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 404
