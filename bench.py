@@ -25,9 +25,13 @@ def main():
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
+    import os
+
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        n, d, b, k, iters = 1_000_000, 768, 128, 100, 16
+        n = int(os.environ.get("BENCH_N", 500_000))
+        d, b, k = 768, 128, 100
+        iters = int(os.environ.get("BENCH_ITERS", 8))
     else:  # CPU smoke fallback so the bench always emits a line
         n, d, b, k, iters = 20_000, 256, 32, 100, 4
 

@@ -117,8 +117,9 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
         bert_cfg, tower = r_hf
     else:
         preset = BERT_PRESETS[opt.model_size]
-        bert_cfg = BertConfig(vocab_size=retriever_tok.vocab_size,
-                              pooling=pooling, **preset)
+        bert_cfg = BertConfig(
+            vocab_size=retriever_tok.vocab_size, pooling=pooling,
+            remat=opt.use_gradient_checkpoint_retriever, **preset)
         tower = None
 
     ret_cfg = RetrieverConfig(
@@ -138,8 +139,9 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
         preset = LM_PRESETS[opt.model_size]
         dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16,
                  "fp32": jnp.float32}[opt.precision]
-        gen_cfg = LMConfig(vocab_size=generator_tok.vocab_size,
-                           dtype=dtype, **preset)
+        gen_cfg = LMConfig(vocab_size=generator_tok.vocab_size, dtype=dtype,
+                           remat=opt.use_gradient_checkpoint_generator,
+                           **preset)
         rng, sub = jax.random.split(rng)
         gen_params = lm_init(sub, gen_cfg)
 

@@ -37,6 +37,7 @@ class BertConfig:
     ln_eps: float = 1e-12
     pooling: str = "mean"  # cls | cls_norm | mean | mean_norm | sqrt
     dtype: Any = jnp.float32  # activation dtype (bf16 on TPU)
+    remat: bool = False  # per-layer activation recomputation
 
     @property
     def head_dim(self) -> int:
@@ -145,15 +146,23 @@ def bert_hidden(
     bias = jnp.where(
         attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
     ).astype(jnp.float32)
-    for layer in params["layers"]:
+
+    def block(layer, x):
         a = _attention(layer, cfg, x, bias)
         x = _layer_norm(
             x + a, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.ln_eps
         )
         f = _ffn(layer, x)
-        x = _layer_norm(
+        return _layer_norm(
             x + f, layer["ffn_ln_scale"], layer["ffn_ln_bias"], cfg.ln_eps
         )
+
+    if cfg.remat:
+        # per-layer activation recomputation (reference toggles HF gradient
+        # checkpointing around forward calls, src/rag.py:1336-1345)
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(layer, x)
     return x
 
 

@@ -43,6 +43,7 @@ class LMConfig:
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # per-layer activation recomputation
 
     @property
     def head_dim(self) -> int:
@@ -163,13 +164,21 @@ def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
     causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
     keymask = attention_mask[:, None, None, :].astype(bool)
     bias = jnp.where(causal & keymask, 0.0, -1e9).astype(jnp.float32)
-    for layer in params["layers"]:
+
+    def block(layer, x):
         a, _ = _attention(
             layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
             positions, bias,
         )
         x = x + a
-        x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+        return x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+
+    if cfg.remat:
+        # activation recomputation (reference: use_gradient_checkpoint_
+        # generator toggling, src/rag.py:1336-1345, 1800-1802)
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(layer, x)
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     return _unembed(params, cfg, x)
 

@@ -233,3 +233,24 @@ def test_concat_doc_single_row():
     assert ids.shape[0] == 1
     text = tok.decode(ids[0][mask[0].astype(bool)])
     assert "t1" in text and "t2" in text
+
+
+def test_remat_same_values_and_grads(lm_params):
+    """Activation recomputation must not change forward values or grads."""
+    import dataclasses
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    rng = np.random.default_rng(9)
+    ids = jnp.array(rng.integers(0, 100, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    labels = jnp.array(rng.integers(0, 100, (2, 8)), jnp.int32)
+
+    def loss(p, cfg):
+        per_seq, _ = lm_loss(p, cfg, ids, mask, labels)
+        return jnp.mean(per_seq)
+
+    l0, g0 = jax.value_and_grad(loss)(lm_params, TINY)
+    l1, g1 = jax.value_and_grad(loss)(lm_params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
