@@ -50,10 +50,20 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
         repeat_if_less_than_world_size=True, opt=opt, is_eval=True)
     data_iterator = filter(None, map(task.process, data_iterator))
     batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
+    batches = _pad_batches_across_processes(batches)
 
     for batch in batches:
         queries, targets = batch["query"], batch["target"]
-        if opt.use_file_passages:
+        if batch.get("__dummy__"):
+            # padding batch: run the collective search so SPMD programs stay
+            # aligned across processes (evaluate.py:44-56), skip metrics
+            if not opt.use_file_passages and not opt.closed_book:
+                model.retrieve(index, params, queries, opt.n_context)
+            continue
+        if opt.closed_book:
+            passages = [[{"title": "", "text": ""}] for _ in queries]
+            ret_scores = np.zeros((len(queries), 1), np.float32)
+        elif opt.use_file_passages:
             passages = [p[: opt.n_context] for p in batch["passages"]]
             ret_scores = np.zeros((len(queries), len(passages[0])),
                                   np.float32)
@@ -147,6 +157,27 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
     out = stats.average_stats
     out["queries_per_sec"] = n / max(time.time() - t0, 1e-9)
     return out
+
+
+def _pad_batches_across_processes(batches):
+    """Multi-process eval: every process must issue the same number of
+    collective searches, so short ranks append dummy batches up to the
+    global max (reference: evaluate.py:44-56 all_reduce-MAX + dummies)."""
+    batches = list(batches)
+    if jax.process_count() == 1:
+        return batches
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.array([len(batches)], np.int32))
+    max_count = int(np.max(counts))
+    if batches:
+        template = {k: v for k, v in batches[-1].items()}
+    else:
+        template = {"query": ["pad"], "target": ["pad"], "__size__": 1}
+    for _ in range(max_count - len(batches)):
+        batches.append(dict(template, __dummy__=True))
+    return batches
 
 
 def save_distributed_dataset(data, dataset_name, opt: Options):

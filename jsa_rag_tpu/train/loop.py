@@ -97,8 +97,9 @@ def train(
             rng, sub = jax.random.split(rng)
             t0 = time.time()
             with jax.profiler.TraceAnnotation("retrieve+tokenize"):
-                train_batch = model.build_batch(mode, index, params, queries,
-                                                targets, iter_stats)
+                train_batch = model.build_batch(
+                    mode, index, params, queries, targets, iter_stats,
+                    file_passages=batch.get("passages"))
             iter_stats["runtime/retrieve+tokenize"] = (time.time() - t0, 1)
 
             t0 = time.time()

@@ -224,19 +224,35 @@ class RAGModel:
             self.prompt_cfg)
         return (jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask))
 
+    def _supplied_passages(self, file_passages, k):
+        """closed_book / use_file_passages passage sources
+        (reference: src/rag.py use_file_passages branches; closed_book uses
+        an empty dummy passage, src/options.py post-parse)."""
+        if self.opt.closed_book:
+            return [[{"title": "", "text": ""}] for _ in file_passages]
+        return [list(p[:k]) for p in file_passages]
+
     def build_batch(self, mode: str, index, params, queries, targets,
-                    iter_stats: dict | None = None):
+                    iter_stats: dict | None = None, file_passages=None):
         """Retrieve + tokenize everything the jitted mode loss needs."""
         topk = self.opt.n_context
+        use_file = ((self.opt.use_file_passages or self.opt.closed_book)
+                    and file_passages is not None)
         if mode == "concat":
-            _, _, passages = self.retrieve(index, params, queries, topk,
-                                           iter_stats=iter_stats)
+            if use_file:
+                passages = self._supplied_passages(file_passages, topk)
+            else:
+                _, _, passages = self.retrieve(index, params, queries, topk,
+                                               iter_stats=iter_stats)
             g = self._generator_rows(queries, passages, targets)
             return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
 
         if mode == "rag":
-            ids, _, passages = self.retrieve(index, params, queries, topk,
-                                             iter_stats=iter_stats)
+            if use_file:
+                passages = self._supplied_passages(file_passages, topk)
+            else:
+                ids, _, passages = self.retrieve(
+                    index, params, queries, topk, iter_stats=iter_stats)
             q_ids, q_mask = self.retriever_tokenize(queries)
             p_ids, p_mask = self._tokenize_passage_matrix(passages)
             g = self._generator_rows(queries, passages, targets)
@@ -248,21 +264,38 @@ class RAGModel:
             }
 
         post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries, targets)]
-        post_ids_np, _, post_passages = self.retrieve(
-            index, params, post_queries, topk, posterior=True,
-            iter_stats=iter_stats)
-        prior_ids_np, _, prior_passages = self.retrieve(
-            index, params, queries, topk, iter_stats=iter_stats)
-        # first-example retrieval snapshot for training_info dumps
-        # (reference: train.py:228-230 / src/rag.py:691-696)
-        self.last_info = {
-            "query": queries[0],
-            "response": targets[0],
-            "prior_retrieved_ids": prior_ids_np[0].tolist(),
-            "post_retrieved_ids": post_ids_np[0].tolist(),
-            "prior_retrieved_texts": [p.get("text", "")
-                                      for p in prior_passages[0]],
-        }
+        if use_file:
+            # supplied-passage mode (reference: use_file_passages branches,
+            # src/rag.py:1630-1706, 1831): the first 2*topk supplied passages
+            # form the candidate union; no index round-trip
+            width = 2 * topk
+            u_passages = []
+            valid = np.zeros((len(queries), width), bool)
+            for i, p in enumerate(
+                    self._supplied_passages(file_passages, width)):
+                valid[i, :len(p)] = True
+                u_passages.append(p + [p[0]] * (width - len(p)))
+            post_passages = [p[:topk] for p in u_passages]
+            prior_passages = post_passages
+            self.last_info = {"query": queries[0], "response": targets[0]}
+        else:
+            post_ids_np, _, post_passages = self.retrieve(
+                index, params, post_queries, topk, posterior=True,
+                iter_stats=iter_stats)
+            prior_ids_np, _, prior_passages = self.retrieve(
+                index, params, queries, topk, iter_stats=iter_stats)
+            union, valid = self.build_union(post_ids_np, prior_ids_np)
+            u_passages = self.passage_texts(union)
+            # first-example retrieval snapshot for training_info dumps
+            # (reference: train.py:228-230 / src/rag.py:691-696)
+            self.last_info = {
+                "query": queries[0],
+                "response": targets[0],
+                "prior_retrieved_ids": prior_ids_np[0].tolist(),
+                "post_retrieved_ids": post_ids_np[0].tolist(),
+                "prior_retrieved_texts": [p.get("text", "")
+                                          for p in prior_passages[0]],
+            }
         q_ids, q_mask = self.retriever_tokenize(queries)
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
 
@@ -278,8 +311,6 @@ class RAGModel:
                 "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
             if self.opt.union_kl:
-                union, valid = self.build_union(post_ids_np, prior_ids_np)
-                u_passages = self.passage_texts(union)
                 u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
                 batch.update({
                     "union_passage_ids": jnp.asarray(u_ids),
@@ -289,8 +320,6 @@ class RAGModel:
             return batch
 
         if mode == "jsa":
-            union, valid = self.build_union(post_ids_np, prior_ids_np)
-            u_passages = self.passage_texts(union)
             u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
             g = self._generator_rows(queries, u_passages, targets)
             return {

@@ -1,0 +1,92 @@
+"""Eval harness unit tests: metrics flow, retrieval-only mode, file-passage
+and closed-book paths, prediction files, batch padding helper."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.data.tokenizer import SimpleTokenizer
+from jsa_rag_tpu.evaluation import (
+    evaluate, run_retrieval_only, _pad_batches_across_processes,
+)
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.models.bert import BertConfig
+from jsa_rag_tpu.models.lm import LMConfig, lm_init
+from jsa_rag_tpu.models.retriever import RetrieverConfig, DualEncoderRetriever
+from jsa_rag_tpu.train.rag_model import RAGModel
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eval")
+    passages = [{"id": str(i), "title": f"e{i}",
+                 "text": f"e{i} has value v{i}"} for i in range(24)]
+    store = PassageStore(passages=passages)
+    data_path = d / "dev.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"question": f"value of e{i}",
+                                "answers": [f"v{i}"]}) + "\n")
+    opt = Options(n_context=2, text_maxlength=96, target_maxlength=8,
+                  generation_max_length=4, per_gpu_batch_size=3,
+                  checkpoint_dir=str(d), name="run", task="qa",
+                  gen_method="fast_deocde1", model_size="tiny",
+                  precision="fp32", use_lora=False)
+    tok = SimpleTokenizer(max_vocab=600)
+    bert = BertConfig(vocab_size=600, hidden=32, layers=1, heads=4,
+                      intermediate=64, max_positions=96, pooling="mean_norm")
+    lmc = LMConfig(vocab_size=600, hidden=32, layers=1, heads=4, kv_heads=2,
+                   intermediate=64, dtype=jnp.float32)
+    ret = DualEncoderRetriever(RetrieverConfig(bert=bert, tied=True))
+    params = {"retriever": ret.init(jax.random.PRNGKey(0)),
+              "generator": lm_init(jax.random.PRNGKey(1), lmc)}
+    model = RAGModel(opt, ret, lmc, tok, tok, store)
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+    index = ShardedFlatIndex(make_mesh(1, 8), len(store), 32,
+                             dtype=jnp.float32, method="exact")
+    model.build_index(index, params)
+    return model, index, params, opt, str(data_path)
+
+
+def test_evaluate_produces_metrics_and_predictions(eval_setup):
+    model, index, params, opt, data_path = eval_setup
+    metrics = evaluate(model, index, params, opt, data_path,
+                       write_results=True)
+    for key in ("exact_match", "f1", "eval_loss", "retrieval_recall"):
+        assert key in metrics
+    assert np.isfinite(metrics["eval_loss"])
+    pred_path = os.path.join(opt.checkpoint_dir, opt.name,
+                             "dev.jsonl.jsonl")
+    with open(pred_path) as f:
+        rows = [json.loads(line) for line in f]
+    assert len(rows) == 6
+    assert {"query", "generation", "answers", "passages"} <= set(rows[0])
+
+
+def test_run_retrieval_only(eval_setup):
+    model, index, params, opt, data_path = eval_setup
+    metrics = run_retrieval_only(model, index, params, opt, data_path)
+    assert "recall" in metrics and "coverage@5" in metrics
+    assert metrics["queries_per_sec"] > 0
+
+
+def test_evaluate_closed_book(eval_setup):
+    model, index, params, opt, data_path = eval_setup
+    opt.closed_book = True
+    try:
+        metrics = evaluate(model, index, params, opt, data_path)
+        assert np.isfinite(metrics["eval_loss"])
+        assert metrics["retrieval_recall"] == 0.0  # empty passages
+    finally:
+        opt.closed_book = False
+
+
+def test_pad_batches_single_process_noop():
+    batches = [{"query": ["a"], "__size__": 1}]
+    assert _pad_batches_across_processes(iter(batches)) == batches

@@ -215,3 +215,38 @@ def test_jsa_decoupled_shared_tower_grads(setup):
                          jax.tree_util.tree_leaves(
                              grads["retriever"]["passage"])))
     assert g_shared > 0
+
+
+def test_build_batch_file_passages(setup):
+    """use_file_passages: supplied passages replace retrieval in all modes
+    (reference: src/rag.py use_file_passages branches)."""
+    model, index, params = setup
+    model.opt.use_file_passages = True
+    try:
+        supplied = [
+            [{"title": f"t{i}", "text": f"supplied passage {i} {j}"}
+             for j in range(4)]
+            for i in range(2)
+        ]
+        for mode in ("concat", "rag", "vrag", "jsa"):
+            batch = model.build_batch(mode, None, params, QUERIES, TARGETS,
+                                      file_passages=supplied)
+            vg = model.loss_and_grad_fn(mode)
+            (loss, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+            assert np.isfinite(float(loss)), mode
+    finally:
+        model.opt.use_file_passages = False
+
+
+def test_build_batch_closed_book(setup):
+    model, index, params = setup
+    model.opt.closed_book = True
+    try:
+        supplied = [[{"title": "", "text": ""}]] * 2
+        batch = model.build_batch("concat", None, params, QUERIES, TARGETS,
+                                  file_passages=supplied)
+        vg = model.loss_and_grad_fn("concat")
+        (loss, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+    finally:
+        model.opt.closed_book = False
