@@ -23,6 +23,7 @@ def main():
     import jax.numpy as jnp
 
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
+    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
     import os
@@ -49,25 +50,33 @@ def main():
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
           for _ in range(iters)]
 
-    def search(q):
-        if on_tpu:
-            return mips_topk_pallas(q, e, k)
-        return mips_topk_approx(q.astype(jnp.float32), e, k, chunk=16384)
+    methods = {
+        "pallas2": lambda q: mips_topk_pallas2(q, e, k),
+        "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
+        "pallas": lambda q: mips_topk_pallas(q, e, k),
+    }
+    pin = os.environ.get("BENCH_METHOD")
+    if pin:
+        methods = {pin: methods[pin]}
+    if not on_tpu:
+        methods = {"approx": methods["approx"]}
 
-    # compile + warm
-    v, i = search(qs[0])
-    _ = np.asarray(v)
+    def measure(search):
+        v, i = search(qs[0])
+        _ = np.asarray(v)  # compile + warm
+        t0 = time.time()
+        carry = jnp.zeros((b, 1), jnp.float32)
+        for t in range(iters):
+            q = qs[t] + carry.astype(jnp.bfloat16) * 0  # chain dependency
+            v, i = search(q)
+            carry = carry + v[:, :1] * 1e-9
+        _ = np.asarray(carry)  # force full execution
+        dt = time.time() - t0 - 0.026  # subtract host-fetch overhead
+        return iters * b / max(dt, 1e-9)
 
-    t0 = time.time()
-    carry = jnp.zeros((b, 1), jnp.float32)
-    for t in range(iters):
-        q = qs[t] + carry.astype(jnp.bfloat16) * 0  # chain dependency
-        v, i = search(q)
-        carry = carry + v[:, :1] * 1e-9
-    _ = np.asarray(carry)  # force full execution
-    dt = time.time() - t0 - 0.026  # subtract fixed host-fetch overhead
-    qps = iters * b / max(dt, 1e-9)
-
+    results = {name: measure(fn) for name, fn in methods.items()}
+    best = max(results, key=results.get)
+    qps = results[best]
     print(json.dumps({
         "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs",
         "value": round(qps, 1),

@@ -1,0 +1,126 @@
+"""Fused MIPS kernel, variant 2: static per-tile top-T + XLA candidate merge.
+
+The v1 kernel (mips_pallas.py) is exact but its rank-insert merge uses a
+dynamic-trip-count loop per N tile; data-dependent control flow inside the
+grid can stall Mosaic's DMA pipelining. v2 removes ALL dynamic control flow:
+
+- per (query-tile, N-tile) the kernel computes MXU scores and exactly T
+  unrolled max/argmax/mask passes (pure VPU, static), emitting the tile's
+  top-T candidates to HBM: (B, NT*T) scores + global indices;
+- a single ``lax.top_k`` over the (B, NT*T) candidate list finishes the job.
+
+Accuracy: exact whenever every N tile holds at most T of a row's global
+top-k (guaranteed for k <= T). For k > T it is an approximation whose recall
+on near-uniform score distributions is effectively 1 (the probability that
+one 2048-row tile of ~1M rows contains >8 of the global top-100 is
+negligible); the `recall_target`-style contract matches BASELINE's >=0.99
+bar. Candidate memory is (B, NT*T) * 8 bytes — tiny next to the index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _topt_kernel(q_ref, e_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
+                 tile_n: int, n_true: int):
+    nt = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < n_true, s, NEG_INF)
+    # T static extract-max passes (unrolled; no data-dependent control flow)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[:, t] = v
+        out_i_ref[:, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_q", "tile_n", "t_per_tile", "interpret"),
+)
+def mips_topk_pallas2(
+    queries: jax.Array,
+    embeddings: jax.Array,
+    k: int,
+    *,
+    tile_q: int = 128,
+    tile_n: int = 2048,
+    t_per_tile: int = 8,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """queries (B, d) x embeddings (N, d) -> (scores (B,k), ids (B,k))."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, d = queries.shape
+    n = embeddings.shape[0]
+    k = min(k, n)
+    tile_n = min(tile_n, _round_up(n, 128))
+    t = min(t_per_tile, tile_n)
+
+    b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
+    tile_q = min(tile_q, b_pad)
+    b_pad = _round_up(b_pad, tile_q)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        embeddings = jnp.pad(embeddings, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topt_kernel, t_per_tile=t, tile_n=tile_n,
+                               n_true=n)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda qt, nt: (nt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, t), lambda qt, nt: (qt, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, t), lambda qt, nt: (qt, nt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, n_tiles * t), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_tiles * t), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=b_pad * d * 4 + n_pad * d * 2
+            + b_pad * n_tiles * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, embeddings)
+
+    k_eff = min(k, cand_s.shape[1])
+    v, a = jax.lax.top_k(cand_s, k_eff)
+    ids = jnp.take_along_axis(cand_i, a, axis=1)
+    return v[:b], ids[:b]

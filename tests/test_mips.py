@@ -89,3 +89,27 @@ def test_k_larger_than_n():
     q, e = make_data(b=2, n=8, d=16)
     vs, vi = mips_topk_exact(jnp.array(q), jnp.array(e), 16)
     assert vs.shape == (2, 8)
+
+
+def test_pallas2_exact_when_k_le_t():
+    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2
+    q, e = make_data(b=4, n=1000, d=64, seed=11)
+    vs, vi = mips_topk_pallas2(jnp.array(q), jnp.array(e), 6,
+                               tile_q=8, tile_n=128, t_per_tile=8,
+                               interpret=True)
+    ov, _ = oracle(q, e, 6)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas2_high_recall_k_gt_t():
+    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2
+    q, e = make_data(b=8, n=4096, d=32, seed=12)
+    k = 50
+    _, vi = mips_topk_pallas2(jnp.array(q), jnp.array(e), k,
+                              tile_q=8, tile_n=256, t_per_tile=8,
+                              interpret=True)
+    _, oi = oracle(q, e, k)
+    recall = np.mean([
+        len(set(np.asarray(vi)[i]) & set(oi[i])) / k for i in range(len(q))
+    ])
+    assert recall >= 0.98, recall
