@@ -90,6 +90,27 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             metrics["eval_loss"].extend(
                 per_seq.reshape(len(queries), -1).mean(-1).tolist())
 
+        # multiple-choice: score the choice letters at the first answer
+        # position instead of free generation (reference:
+        # src/tasks/multiple_choice.py get_choice_logits + evaluate.py MC path)
+        if hasattr(task, "choices") and "choices" in batch:
+            choice_rows = _choice_logits(model, params, queries, passages,
+                                         task.choices)
+            for i in range(len(queries)):
+                logits = choice_rows[i]
+                pred = max(logits, key=logits.get)
+                gold = _answers_of(batch, i)
+                for mk, mv in task.evaluation(pred, gold).items():
+                    if mk in metrics:
+                        metrics[mk].append(mv)
+                ex = {"query": queries[i], "generation": pred,
+                      "answers": gold, "choice_logits": logits,
+                      "passages": passages[i][:3]}
+                if "metadata" in batch:
+                    ex["metadata"] = batch["metadata"][i]
+                dataset_wpred.append(ex)
+            continue
+
         # generation
         if opt.gen_method == "concat" or opt.concat_doc:
             gen = model.generate(params, queries, passages,
@@ -157,6 +178,30 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
     out = stats.average_stats
     out["queries_per_sec"] = n / max(time.time() - t0, 1e-9)
     return out
+
+
+def _choice_logits(model, params, queries, passages, choices):
+    """Per-example {letter: logit} at the first generated position, using
+    each query's top passage."""
+    from .data.prompts import build_generation_batch
+    from .models.lm import lm_logits
+
+    top1 = [[p[0]] for p in passages]
+    gids, gmask = build_generation_batch(
+        model.generator_tokenizer, queries, top1, model.prompt_cfg)
+    fn = model._jit(("choice_logits",), lambda: jax.jit(
+        lambda p, i, m: lm_logits(model.fns.gen_params(p),
+                                  model.gen_cfg, i, m)[:, -1]))
+    last = np.asarray(fn(params, jnp.asarray(gids), jnp.asarray(gmask)))
+    letter_ids = {
+        c: model.generator_tokenizer.encode_batch([c], 4,
+                                                  add_special=False)[0][0][0]
+        for c in choices
+    }
+    return [
+        {c: float(last[i, int(tid)]) for c, tid in letter_ids.items()}
+        for i in range(len(queries))
+    ]
 
 
 def _pad_batches_across_processes(batches):

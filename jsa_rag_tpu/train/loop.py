@@ -53,6 +53,7 @@ def train(
                                                       opt.name)
     os.makedirs(checkpoint_path, exist_ok=True)
     metrics_log = open(os.path.join(checkpoint_path, "metrics.jsonl"), "a")
+    tb = _maybe_tb_writer(checkpoint_path)
 
     mode = train_mode_of(opt)
     if not opt.use_file_passages and opt.load_index_path is None:
@@ -142,6 +143,9 @@ def train(
                     {"step": step, **{k: float(v) for k, v in avg.items()}})
                     + "\n")
                 metrics_log.flush()
+                if tb is not None:
+                    for k, v in avg.items():
+                        tb.add_scalar(k, float(v), step)
                 run_stats.reset()
 
             if evaluate_fn is not None and step % opt.eval_freq == 0:
@@ -151,6 +155,9 @@ def train(
                     name = os.path.basename(data_path)
                     logger.info("Dataset: %s | %s", name, " | ".join(
                         f"{v:.3f} {k}" for k, v in metrics.items()))
+                    if tb is not None:
+                        for k, v in metrics.items():
+                            tb.add_scalar(f"{name}/{k}", float(v), step)
 
             if step % opt.save_freq == 0 and jax.process_index() == 0:
                 save_checkpoint(opt.checkpoint_dir, opt.name, step, params,
@@ -164,4 +171,19 @@ def train(
             if step >= opt.total_steps:
                 break
     metrics_log.close()
+    if tb is not None:
+        tb.close()
     return params, opt_state, step
+
+
+def _maybe_tb_writer(path: str):
+    """TensorBoard scalars (reference: src/util.py:42-52 init_tb_logger);
+    optional — only when a SummaryWriter implementation is importable."""
+    if jax.process_index() != 0:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=os.path.join(path, "tb"))
+    except Exception:
+        return None

@@ -90,3 +90,28 @@ def test_evaluate_closed_book(eval_setup):
 def test_pad_batches_single_process_noop():
     batches = [{"query": ["a"], "__size__": 1}]
     assert _pad_batches_across_processes(iter(batches)) == batches
+
+
+def test_multiple_choice_eval(tmp_path, eval_setup):
+    """MC path scores choice letters + permutation debiasing postprocess."""
+    model, index, params, opt, _ = eval_setup
+    import dataclasses
+    mc_opt = dataclasses.replace(opt) if dataclasses.is_dataclass(opt) else opt
+    data_path = tmp_path / "mc.jsonl"
+    from jsa_rag_tpu.tasks.multiple_choice import Task as MCTask
+    ex = {"question": "pick", "options": {"A": "x", "B": "y"}, "answer": "A"}
+    perms = MCTask.get_permutations(ex, "cyclic")
+    with open(data_path, "w") as f:
+        for p in perms:  # raw examples; evaluate() runs task.process
+            f.write(json.dumps(p) + "\n")
+    old_task = opt.task
+    opt.task = "multiple_choice"
+    opt.multiple_choice_num_options = 2
+    opt.use_file_passages = False
+    try:
+        metrics = evaluate(model, index, params, opt, str(data_path),
+                           write_results=False)
+    finally:
+        opt.task = old_task
+    assert "debiased_accuracy" in metrics
+    assert "accuracy" in metrics

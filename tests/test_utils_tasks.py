@@ -255,3 +255,35 @@ def test_checkpoint_roundtrip(tmp_path):
 
     export_retriever(str(tmp_path), 10, params["retriever"])
     assert os.path.islink(tmp_path / "bge_query_Embedding_Ret" / "lastest")
+
+
+def test_train_resume_continues_step(tmp_path):
+    """Checkpoint/resume: restoring from latest continues the step count
+    with matching tokenizer ids (reference: load_or_initialize_atlas_model
+    resume path, src/model_io.py:304-332)."""
+    from jsa_rag_tpu.config import Options
+    from jsa_rag_tpu.data.passages import PassageStore
+    from jsa_rag_tpu.model_io import load_or_initialize_model
+    from jsa_rag_tpu.train.checkpoint import save_checkpoint
+
+    opt = Options(model_size="tiny", precision="fp32", use_lora=False,
+                  gold_score_mode="rag", checkpoint_dir=str(tmp_path),
+                  name="r")
+    store = PassageStore.synthetic(8, seed=0)
+    model, params, step = load_or_initialize_model(opt, store)
+    assert step == 0
+    model.generator_tokenizer.tokenize("hello world resume")
+    save_checkpoint(str(tmp_path), "r", 7, params,
+                    tokenizer=model.generator_tokenizer,
+                    retriever_tokenizer=model.retriever_tokenizer)
+
+    opt2 = Options(model_size="tiny", precision="fp32", use_lora=False,
+                   gold_score_mode="rag", checkpoint_dir=str(tmp_path),
+                   name="r2", model_path=str(tmp_path / "r"))
+    model2, params2, step2 = load_or_initialize_model(opt2, store)
+    assert step2 == 7
+    assert model2.generator_tokenizer.vocab == \
+        model.generator_tokenizer.vocab
+    np.testing.assert_array_equal(
+        np.asarray(params2["generator"]["embed"]),
+        np.asarray(params["generator"]["embed"]))
