@@ -30,8 +30,9 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        n = int(os.environ.get("BENCH_N", 500_000))
-        d, b, k = 768, 128, 100
+        n = int(os.environ.get("BENCH_N", 1_000_000))
+        d, k = 768, 100
+        b = int(os.environ.get("BENCH_B", 512))
         iters = int(os.environ.get("BENCH_ITERS", 8))
     else:  # CPU smoke fallback so the bench always emits a line
         n, d, b, k, iters = 20_000, 256, 32, 100, 4
@@ -50,27 +51,33 @@ def main():
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
           for _ in range(iters)]
 
+    tq = 256 if b >= 256 else 128
     methods = {
-        "pallas2": lambda q: mips_topk_pallas2(q, e, k),
+        "pallas2": lambda q: mips_topk_pallas2(q, e, k, tile_q=tq),
         "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
         "pallas": lambda q: mips_topk_pallas(q, e, k),
     }
-    pin = os.environ.get("BENCH_METHOD")
+    pin = os.environ.get("BENCH_METHOD", "pallas2" if on_tpu else None)
     if pin:
         methods = {pin: methods[pin]}
     if not on_tpu:
         methods = {"approx": methods["approx"]}
 
-    def measure(search):
-        v, i = search(qs[0])
-        _ = np.asarray(v)  # compile + warm
-        t0 = time.time()
+    def chain(search, m):
         carry = jnp.zeros((b, 1), jnp.float32)
-        for t in range(iters):
+        for t in range(m):
             q = qs[t] + carry.astype(jnp.bfloat16) * 0  # chain dependency
             v, i = search(q)
             carry = carry + v[:, :1] * 1e-9
         _ = np.asarray(carry)  # force full execution
+
+    def measure(search):
+        # warm the FULL chain incl. the tiny add ops: every distinct program
+        # compiles remotely through the axon tunnel (seconds each), which
+        # otherwise poisons the first timed sequence by ~50x
+        chain(search, 2)
+        t0 = time.time()
+        chain(search, iters)
         dt = time.time() - t0 - 0.026  # subtract host-fetch overhead
         return iters * b / max(dt, 1e-9)
 

@@ -171,7 +171,9 @@ def mips_topk(
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu and n >= 65536:
-            method = "pallas"
+            # pallas2 measured fastest on-chip (17k qps/chip @ 1M psgs
+            # b=128, 36k @ b=512) with recall@100 == 1.0 vs exact at t=4
+            method = "pallas2"
         else:
             method = "exact"
     if method == "exact":
@@ -185,4 +187,8 @@ def mips_topk(
         from .mips_pallas import mips_topk_pallas
 
         return mips_topk_pallas(queries, embeddings, k)
+    if method == "pallas2":
+        from .mips_pallas2 import mips_topk_pallas2
+
+        return mips_topk_pallas2(queries, embeddings, k)
     raise ValueError(f"unknown MIPS method {method!r}")

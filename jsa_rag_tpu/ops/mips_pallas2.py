@@ -35,6 +35,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _topt_kernel(q_ref, e_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
                  tile_n: int, n_true: int):
+    """Outputs are (n_tiles, B, T) blocks — the tile index lives in the
+    leading (untiled) dim so the (tile_q, T) trailing block satisfies
+    Mosaic's lane-alignment rule (T == full trailing dim)."""
     nt = pl.program_id(1)
     s = jax.lax.dot_general(
         q_ref[:], e_ref[:],
@@ -49,8 +52,8 @@ def _topt_kernel(q_ref, e_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
     for t in range(t_per_tile):
         v = jnp.max(s, axis=1)
         am = jnp.argmax(s, axis=1)
-        out_s_ref[:, t] = v
-        out_i_ref[:, t] = am.astype(jnp.int32) + nt * tile_n
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
         s = jnp.where(col == am[:, None], NEG_INF, s)
 
 
@@ -65,7 +68,7 @@ def mips_topk_pallas2(
     *,
     tile_q: int = 128,
     tile_n: int = 2048,
-    t_per_tile: int = 8,
+    t_per_tile: int = 4,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """queries (B, d) x embeddings (N, d) -> (scores (B,k), ids (B,k))."""
@@ -99,14 +102,14 @@ def mips_topk_pallas2(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, t), lambda qt, nt: (qt, nt),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, t), lambda qt, nt: (qt, nt),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, n_tiles * t), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, n_tiles * t), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -120,6 +123,9 @@ def mips_topk_pallas2(
         interpret=interpret,
     )(queries, embeddings)
 
+    # (NT, B, T) -> (B, NT*T) candidate lists
+    cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
     k_eff = min(k, cand_s.shape[1])
     v, a = jax.lax.top_k(cand_s, k_eff)
     ids = jnp.take_along_axis(cand_i, a, axis=1)
