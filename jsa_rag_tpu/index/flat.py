@@ -82,7 +82,11 @@ class ShardedFlatIndex:
     ):
         self.mesh = mesh
         self.dim = dim
-        self.dtype = dtype
+        # fp16 is stored as raw IEEE-half bits (int16): Mosaic has no f16
+        # type, so the fused kernel decodes in-kernel (mips_pallas2_f16) —
+        # reference-parity fp16 memory (src/index.py:52) at pallas speed
+        self.store_f16_bits = jnp.dtype(dtype) == jnp.float16
+        self.dtype = jnp.int16 if self.store_f16_bits else dtype
         self.method = method
         self.n_passages = n_passages
         self.n_shards = mesh.devices.size
@@ -92,7 +96,7 @@ class ShardedFlatIndex:
         self.n_padded = self.shard_rows * self.n_shards
         self.sharding = NamedSharding(mesh, P(AXES.all, None))
         self.embeddings = jax.device_put(
-            jnp.zeros((self.n_padded, dim), dtype=dtype), self.sharding
+            jnp.zeros((self.n_padded, dim), dtype=self.dtype), self.sharding
         )
         self._search_fn = None
 
@@ -105,7 +109,12 @@ class ShardedFlatIndex:
         dynamic_update_slice per shard (reference analogue:
         src/rag.py:118-121 writing ``index.embeddings[:, a:b]``).
         """
-        block = jnp.asarray(block, dtype=self.dtype)
+        if self.store_f16_bits:
+            from ..ops.mips_pallas2 import f16_to_bits
+
+            block = f16_to_bits(jnp.asarray(block))
+        else:
+            block = jnp.asarray(block, dtype=self.dtype)
         self.embeddings = _update_rows(
             self.embeddings, block, start, self.sharding
         )
@@ -185,6 +194,15 @@ class ShardedFlatIndex:
             start += block.shape[0]
         assert start == meta["n_passages"]
         return idx
+
+    def embeddings_as_float(self) -> jax.Array:
+        """Stored rows decoded to f32 (bits storage included) — used by IVF
+        training and analysis paths."""
+        e = self.embeddings[: self.n_passages]
+        if self.store_f16_bits or e.dtype == jnp.int16:
+            return jax.lax.bitcast_convert_type(
+                e, jnp.float16).astype(jnp.float32)
+        return e.astype(jnp.float32)
 
     def iter_shard_bounds(self) -> Iterator[tuple[int, int]]:
         for s in range(self.n_shards):

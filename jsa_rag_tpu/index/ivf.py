@@ -149,9 +149,10 @@ class ShardedIVFIndex:
     @classmethod
     def from_flat(cls, flat, n_lists: int | None = None,
                   n_probe: int | None = None, **kw) -> "ShardedIVFIndex":
-        idx = cls(flat.mesh, flat.n_passages, flat.dim, dtype=flat.dtype,
+        dtype = jnp.bfloat16 if flat.dtype == jnp.int16 else flat.dtype
+        idx = cls(flat.mesh, flat.n_passages, flat.dim, dtype=dtype,
                   n_lists=n_lists, n_probe=n_probe)
-        idx.train(flat.embeddings[: flat.n_passages], **kw)
+        idx.train(flat.embeddings_as_float(), **kw)
         return idx
 
     # ----------------------------------------------------------------- search

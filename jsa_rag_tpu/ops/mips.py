@@ -168,6 +168,13 @@ def mips_topk(
     """Dispatching MIPS entry point. ``auto`` picks the Pallas fused kernel on
     TPU for large N, the exact scan otherwise."""
     n = embeddings.shape[0]
+    if embeddings.dtype == jnp.int16:
+        # raw IEEE-half bits (fp16 storage): fused kernel with in-kernel
+        # decode — fp16 scoring precision at bf16 MXU speed
+        from .mips_pallas2 import mips_topk_pallas2_f16
+
+        return mips_topk_pallas2_f16(queries.astype(jnp.float32),
+                                     embeddings, k)
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu and embeddings.dtype == jnp.float16:

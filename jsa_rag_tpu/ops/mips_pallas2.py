@@ -130,3 +130,136 @@ def mips_topk_pallas2(
     v, a = jax.lax.top_k(cand_s, k_eff)
     ids = jnp.take_along_axis(cand_i, a, axis=1)
     return v[:b], ids[:b]
+
+
+# --------------------------------------------------------------------- fp16
+def _decode_f16_bits(bits_i32):
+    """IEEE half stored as raw bits (int32-widened) -> f32, in integer ops
+    (Mosaic has no f16 type). Subnormals flush to zero — harmless for
+    embedding magnitudes; inf/nan are not expected in an index."""
+    sign = jnp.left_shift(jnp.bitwise_and(jnp.right_shift(bits_i32, 15), 1),
+                          31)
+    exp = jnp.bitwise_and(jnp.right_shift(bits_i32, 10), 0x1F)
+    mant = jnp.bitwise_and(bits_i32, 0x3FF)
+    f32_bits = jnp.bitwise_or(
+        sign, jnp.bitwise_or(jnp.left_shift(exp + 112, 23),
+                             jnp.left_shift(mant, 13)))
+    x = jax.lax.bitcast_convert_type(f32_bits, jnp.float32)
+    return jnp.where(exp == 0, 0.0, x)
+
+
+def _topt_f16_kernel(qh_ref, ql_ref, e_ref, out_s_ref, out_i_ref, *,
+                     t_per_tile: int, tile_n: int, n_true: int):
+    """fp16-precision scoring at bf16 MXU speed: decode f16 bits to f32,
+    split into bf16 hi+lo, and compute q·x ≈ qh·xh + qh·xl + ql·xh (the
+    ql·xl term is below fp16 resolution)."""
+    nt = pl.program_id(1)
+    bits = e_ref[:].astype(jnp.int32)
+    bits = jnp.bitwise_and(bits, 0xFFFF)  # u16 payload in an int16 load
+    x = _decode_f16_bits(bits)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(a, bmat):
+        return jax.lax.dot_general(
+            a, bmat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s = dot(qh_ref[:], xh) + dot(qh_ref[:], xl) + dot(ql_ref[:], xh)
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < n_true, s, NEG_INF)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_q", "tile_n", "t_per_tile", "interpret"),
+)
+def mips_topk_pallas2_f16(
+    queries: jax.Array,       # (B, d) f32
+    emb_bits: jax.Array,      # (N, d) int16: raw IEEE-half bits
+    k: int,
+    *,
+    tile_q: int = 128,
+    tile_n: int = 1024,
+    t_per_tile: int = 4,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Search over an fp16-stored index (2 bytes/element — reference-parity
+    memory, src/index.py:52) with fp16 scoring precision on the MXU."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, d = queries.shape
+    n = emb_bits.shape[0]
+    k = min(k, n)
+    tile_n = min(tile_n, _round_up(n, 128))
+    t = min(t_per_tile, tile_n)
+
+    q = queries.astype(jnp.float32)
+    qh = q.astype(jnp.bfloat16)
+    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
+    tile_q = min(tile_q, b_pad)
+    b_pad = _round_up(b_pad, tile_q)
+    if b_pad != b:
+        qh = jnp.pad(qh, ((0, b_pad - b), (0, 0)))
+        ql = jnp.pad(ql, ((0, b_pad - b), (0, 0)))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        emb_bits = jnp.pad(emb_bits, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topt_f16_kernel, t_per_tile=t, tile_n=tile_n,
+                               n_true=n)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda qt, nt: (nt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_pad * n_pad * d,
+            bytes_accessed=b_pad * d * 4 + n_pad * d * 2
+            + b_pad * n_tiles * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qh, ql, emb_bits)
+
+    cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    v, a = jax.lax.top_k(cand_s, min(k, cand_s.shape[1]))
+    ids = jnp.take_along_axis(cand_i, a, axis=1)
+    return v[:b], ids[:b]
+
+
+def f16_to_bits(emb_f16: jax.Array) -> jax.Array:
+    """f16 array -> int16 raw-bits array for fp16-bit index storage."""
+    return jax.lax.bitcast_convert_type(
+        emb_f16.astype(jnp.float16), jnp.int16)

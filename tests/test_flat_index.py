@@ -94,3 +94,25 @@ def test_padding_rows_never_returned(mesh_flat):
     assert np.asarray(vi).max() < n
     ov, oi = brute(q, e, n)
     np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
+
+
+def test_fp16_bits_storage(mesh_flat):
+    """float16 indexes store raw half bits and search via the decoding
+    kernel; results match the fp16-upcast oracle."""
+    rng = np.random.default_rng(6)
+    n, d, k = 500, 32, 10
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float16)
+    assert idx.store_f16_bits and idx.dtype == jnp.int16
+    idx.set_embeddings(0, e)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    vs, vi = idx.search(jnp.asarray(q), k)
+    s = q @ e.astype(np.float16).astype(np.float32).T
+    oi = np.argsort(-s, axis=1)[:, :k]
+    ov = np.take_along_axis(s, oi, axis=1)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=3e-3, atol=3e-3)
+    # decode helper returns fp16-rounded floats
+    back = np.asarray(idx.embeddings_as_float())
+    np.testing.assert_allclose(back, e.astype(np.float16).astype(np.float32),
+                               rtol=1e-6)

@@ -113,3 +113,40 @@ def test_pallas2_high_recall_k_gt_t():
         len(set(np.asarray(vi)[i]) & set(oi[i])) / k for i in range(len(q))
     ])
     assert recall >= 0.98, recall
+
+
+def test_pallas2_f16_bits_matches_fp16_oracle():
+    """In-kernel f16 decode: scores must match f32(f16(e)) @ q to fp16
+    precision — strictly better than bf16 storage."""
+    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2_f16, f16_to_bits
+    rng = np.random.default_rng(21)
+    b, n, d, k = 4, 1000, 64, 20
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e16 = e.astype(np.float16)
+    bits = f16_to_bits(jnp.asarray(e16))
+    vs, vi = mips_topk_pallas2_f16(jnp.asarray(q), bits, k,
+                                   tile_q=8, tile_n=128, t_per_tile=8,
+                                   interpret=True)
+    # oracle: exact top-k over f32-upcast fp16 embeddings
+    s = q @ e16.astype(np.float32).T
+    oi = np.argsort(-s, axis=1)[:, :k]
+    ov = np.take_along_axis(s, oi, axis=1)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=2e-3, atol=2e-3)
+    recall = np.mean([len(set(np.asarray(vi)[i]) & set(oi[i])) / k
+                      for i in range(b)])
+    assert recall >= 0.95
+
+
+def test_f16_decode_parity():
+    """The integer decode reproduces numpy's f16->f32 for normals/zero."""
+    from jsa_rag_tpu.ops.mips_pallas2 import _decode_f16_bits
+    vals = np.array([0.0, 1.0, -1.0, 0.5, 3.14159, -65504.0, 6.1e-5,
+                     1e-8, 123.456], np.float16)
+    bits = jnp.asarray(vals.view(np.int16), jnp.int32) & 0xFFFF
+    import jax
+    got = np.asarray(jax.jit(_decode_f16_bits)(bits))
+    want = vals.astype(np.float32)
+    want[np.abs(want) < 6.1e-5] = 0.0  # subnormals flush to zero
+    np.testing.assert_allclose(got, want, rtol=1e-6)
