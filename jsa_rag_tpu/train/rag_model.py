@@ -158,6 +158,55 @@ class RAGModel:
             iter_stats["runtime/search"] = (time.time() - t0, 1)
         return ids, scores, passages
 
+    def retrieve_pair(self, index, params, queries, post_queries, topk,
+                      iter_stats: dict | None = None):
+        """Prior + posterior retrieval in ONE device program: both query
+        towers embed and both searches run in a single jit dispatch (the
+        reference issues two full retrieve round-trips, src/rag.py:1804-1825;
+        dispatch latency dominates small training batches)."""
+        from ..index.flat import ShardedFlatIndex
+
+        if self.opt.retrieve_with_rerank or not isinstance(
+                index, ShardedFlatIndex):
+            post_ids, _, post_passages = self.retrieve(
+                index, params, post_queries, topk, posterior=True,
+                iter_stats=iter_stats)
+            prior_ids, _, prior_passages = self.retrieve(
+                index, params, queries, topk, iter_stats=iter_stats)
+            return prior_ids, post_ids, prior_passages, post_passages
+        t0 = time.time()
+        q_ids, q_mask = self.retriever_tokenize(queries)
+        pq_ids, pq_mask = self.retriever_tokenize(post_queries)
+        fn = self._jit(("retrieve_pair", topk, index.n_passages), lambda:
+                       self._make_retrieve_pair_fn(index, topk))
+        _, prior_ids, _, post_ids = fn(
+            params["retriever"], params["post_retriever"],
+            jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(pq_ids), jnp.asarray(pq_mask), index.embeddings)
+        prior_ids, post_ids = np.asarray(prior_ids), np.asarray(post_ids)
+        if iter_stats is not None:
+            iter_stats["runtime/search"] = (time.time() - t0, 1)
+        return (prior_ids, post_ids, self.passage_texts(prior_ids),
+                self.passage_texts(post_ids))
+
+    def _make_retrieve_pair_fn(self, index, topk):
+        search = index._get_search_fn(topk) if hasattr(
+            index, "_get_search_fn") else None
+
+        @jax.jit
+        def fn(prior_tower, post_tower, q_ids, q_mask, pq_ids, pq_mask, emb):
+            prior_q = self.retriever.embed_queries(prior_tower, q_ids,
+                                                   q_mask)
+            post_q = self.retriever.embed_queries(post_tower, pq_ids,
+                                                  pq_mask)
+            q_all = jnp.concatenate(
+                [prior_q, post_q], axis=0).astype(jnp.float32)
+            scores, ids = search(q_all, emb)
+            b = q_ids.shape[0]
+            return (scores[:b], ids[:b], scores[b:], ids[b:])
+
+        return fn
+
     def _retrieve_rerank(self, index, params, q_emb, topk, posterior):
         """retrieve_with_rerank (src/rag.py:177-247): over-retrieve
         n_to_rerank, re-embed those passages with the live tower, re-sort."""
@@ -279,11 +328,9 @@ class RAGModel:
             prior_passages = post_passages
             self.last_info = {"query": queries[0], "response": targets[0]}
         else:
-            post_ids_np, _, post_passages = self.retrieve(
-                index, params, post_queries, topk, posterior=True,
-                iter_stats=iter_stats)
-            prior_ids_np, _, prior_passages = self.retrieve(
-                index, params, queries, topk, iter_stats=iter_stats)
+            prior_ids_np, post_ids_np, prior_passages, post_passages = \
+                self.retrieve_pair(index, params, queries, post_queries,
+                                   topk, iter_stats=iter_stats)
             union, valid = self.build_union(post_ids_np, prior_ids_np)
             u_passages = self.passage_texts(union)
             # first-example retrieval snapshot for training_info dumps
