@@ -73,12 +73,19 @@ def _try_hf_generator(opt: Options):
         import torch  # noqa: F401
         from transformers import AutoModelForCausalLM
 
-        from .models.hf_import import import_causal_lm, lm_config_from_hf
+        from .models.hf_import import (
+            gpt2_config_from_hf, import_causal_lm, import_gpt2,
+            lm_config_from_hf,
+        )
 
         hf = AutoModelForCausalLM.from_pretrained(path, local_files_only=True)
-        cfg = lm_config_from_hf(hf.config)
-        params = import_causal_lm(hf.state_dict(), cfg.layers,
-                                  cfg.tie_embeddings)
+        if hf.config.model_type == "gpt2":
+            cfg = gpt2_config_from_hf(hf.config)
+            params = import_gpt2(hf.state_dict(), cfg.layers)
+        else:
+            cfg = lm_config_from_hf(hf.config)
+            params = import_causal_lm(hf.state_dict(), cfg.layers,
+                                      cfg.tie_embeddings)
         logger.info("Loaded generator weights from %s", path)
         return cfg, params
     except Exception as e:  # pragma: no cover
@@ -136,9 +143,12 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
     if g_hf is not None:
         gen_cfg, gen_params = g_hf
     else:
-        preset = LM_PRESETS[opt.model_size]
+        preset = dict(LM_PRESETS[opt.model_size])
         dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16,
                  "fp32": jnp.float32}[opt.precision]
+        if "gpt" in opt.generator_model_type.lower():
+            preset["kv_heads"] = preset["heads"]
+            preset["arch"] = "gpt2"
         gen_cfg = LMConfig(vocab_size=generator_tok.vocab_size, dtype=dtype,
                            remat=opt.use_gradient_checkpoint_generator,
                            **preset)

@@ -133,6 +133,55 @@ def import_causal_lm(state_dict: Mapping[str, Any], n_layers: int,
     return p
 
 
+def gpt2_config_from_hf(hf_cfg, dtype=None) -> "LMConfig":
+    from .lm import LMConfig
+    import jax.numpy as jnp
+
+    return LMConfig(
+        arch="gpt2",
+        vocab_size=hf_cfg.vocab_size,
+        hidden=hf_cfg.n_embd,
+        layers=hf_cfg.n_layer,
+        heads=hf_cfg.n_head,
+        kv_heads=hf_cfg.n_head,
+        intermediate=4 * hf_cfg.n_embd,
+        max_positions=hf_cfg.n_positions,
+        tie_embeddings=True,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+def import_gpt2(state_dict: Mapping[str, Any], n_layers: int) -> Params:
+    """Convert an HF ``GPT2LMHeadModel`` state dict (reference loads GPT2 as
+    the third generator family, src/model_io.py:123-127). HF GPT2 uses
+    Conv1D modules whose weights are already (in, out) — no transpose."""
+    sd = {k.removeprefix("transformer."): v for k, v in state_dict.items()}
+    p: Params = {
+        "embed": _np(sd["wte.weight"]),
+        "pos_embed": _np(sd["wpe.weight"]),
+        "final_norm": _np(sd["ln_f.weight"]),
+        "final_norm_b": _np(sd["ln_f.bias"]),
+        "layers": [],
+    }
+    for i in range(n_layers):
+        pre = f"h.{i}."
+        p["layers"].append({
+            "ln1_s": _np(sd[pre + "ln_1.weight"]),
+            "ln1_b": _np(sd[pre + "ln_1.bias"]),
+            "qkv_w": _np(sd[pre + "attn.c_attn.weight"]),
+            "qkv_b": _np(sd[pre + "attn.c_attn.bias"]),
+            "o_w": _np(sd[pre + "attn.c_proj.weight"]),
+            "o_b": _np(sd[pre + "attn.c_proj.bias"]),
+            "ln2_s": _np(sd[pre + "ln_2.weight"]),
+            "ln2_b": _np(sd[pre + "ln_2.bias"]),
+            "fc_w": _np(sd[pre + "mlp.c_fc.weight"]),
+            "fc_b": _np(sd[pre + "mlp.c_fc.bias"]),
+            "proj_w": _np(sd[pre + "mlp.c_proj.weight"]),
+            "proj_b": _np(sd[pre + "mlp.c_proj.bias"]),
+        })
+    return p
+
+
 # Pooling dispatch by model-name substring, mirroring the reference's
 # get_class/get_embeddings tables (src/retrievers.py:65-106).
 POOLING_BY_MODEL = (

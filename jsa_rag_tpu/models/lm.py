@@ -44,6 +44,12 @@ class LMConfig:
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     remat: bool = False  # per-layer activation recomputation
+    # architecture family: "llama" (RMSNorm/rope/GQA/SwiGLU — also mistral)
+    # or "gpt2" (learned positions, pre-LN, biased projections, gelu MLP,
+    # tied head) — the reference's third generator family
+    # (src/model_io.py:123-127)
+    arch: str = "llama"
+    max_positions: int = 1024  # gpt2 learned position table size
 
     @property
     def head_dim(self) -> int:
@@ -59,6 +65,32 @@ def lm_init(rng: jax.Array, cfg: LMConfig) -> Params:
         return scale * jax.random.normal(next(keys), shape, jnp.float32)
 
     hd = cfg.head_dim
+    if cfg.arch == "gpt2":
+        keys = iter(jax.random.split(rng, 4 + 4 * cfg.layers))
+        p: Params = {
+            "embed": w((cfg.vocab_size, cfg.hidden)),
+            "pos_embed": w((cfg.max_positions, cfg.hidden)),
+            "final_norm": jnp.ones((cfg.hidden,), jnp.float32),
+            "final_norm_b": jnp.zeros((cfg.hidden,), jnp.float32),
+            "layers": [],
+        }
+        h = cfg.hidden
+        for _ in range(cfg.layers):
+            p["layers"].append({
+                "ln1_s": jnp.ones((h,), jnp.float32),
+                "ln1_b": jnp.zeros((h,), jnp.float32),
+                "qkv_w": w((h, 3 * h)),
+                "qkv_b": jnp.zeros((3 * h,), jnp.float32),
+                "o_w": w((h, h)),
+                "o_b": jnp.zeros((h,), jnp.float32),
+                "ln2_s": jnp.ones((h,), jnp.float32),
+                "ln2_b": jnp.zeros((h,), jnp.float32),
+                "fc_w": w((h, cfg.intermediate)),
+                "fc_b": jnp.zeros((cfg.intermediate,), jnp.float32),
+                "proj_w": w((cfg.intermediate, h)),
+                "proj_b": jnp.zeros((h,), jnp.float32),
+            })
+        return p  # gpt2 head is tied to the embedding
     p: Params = {
         "embed": w((cfg.vocab_size, cfg.hidden)),
         "final_norm": jnp.ones((cfg.hidden,), jnp.float32),
@@ -79,6 +111,14 @@ def lm_init(rng: jax.Array, cfg: LMConfig) -> Params:
     if not cfg.tie_embeddings:
         p["lm_head"] = w((cfg.hidden, cfg.vocab_size))
     return p
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(
+        x.dtype)
 
 
 def _rms_norm(x, scale, eps):
@@ -146,8 +186,63 @@ def _mlp(layer, x):
     return (jax.nn.silu(g) * u) @ layer["down_w"].astype(x.dtype)
 
 
+def _gpt2_attention(layer, cfg: LMConfig, x, bias, cache=None,
+                    cache_len=None):
+    """GPT2 attention: fused qkv with biases, no rotary, full MHA."""
+    b, s, h = x.shape
+    nh, hd = cfg.heads, cfg.head_dim
+    qkv = x @ layer["qkv_w"].astype(x.dtype) + layer["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nh, hd)
+    v = v.reshape(b, s, nh, hd)
+    if cache is not None:
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+    else:
+        new_cache = None
+    logits = jnp.einsum(
+        "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    probs = jax.nn.softmax(logits + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
+    out = ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
+    return out, new_cache
+
+
+def _gpt2_block(layer, cfg: LMConfig, x, bias, cache=None, cache_len=None):
+    a, new_cache = _gpt2_attention(
+        layer, cfg, _layer_norm(x, layer["ln1_s"], layer["ln1_b"]),
+        bias, cache, cache_len)
+    x = x + a
+    hmid = _layer_norm(x, layer["ln2_s"], layer["ln2_b"])
+    hmid = jax.nn.gelu(
+        hmid @ layer["fc_w"].astype(x.dtype) + layer["fc_b"].astype(x.dtype),
+        approximate=True) @ layer["proj_w"].astype(x.dtype) \
+        + layer["proj_b"].astype(x.dtype)
+    return x + hmid, new_cache
+
+
+def _embed_in(params, cfg: LMConfig, input_ids, positions):
+    x = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    if cfg.arch == "gpt2":
+        pos = jnp.clip(positions, 0, cfg.max_positions - 1)
+        x = x + jnp.take(params["pos_embed"], pos, axis=0).astype(cfg.dtype)
+    return x
+
+
+def _final_norm(params, cfg: LMConfig, x):
+    if cfg.arch == "gpt2":
+        return _layer_norm(x, params["final_norm"], params["final_norm_b"])
+    return _rms_norm(x, params["final_norm"], cfg.rms_eps)
+
+
 def _unembed(params, cfg: LMConfig, x):
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    tied = cfg.tie_embeddings or cfg.arch == "gpt2"
+    head = params["embed"].T if tied else params["lm_head"]
     return jnp.einsum(
         "bsh,hv->bsv", x, head.astype(x.dtype),
         preferred_element_type=jnp.float32,
@@ -160,18 +255,23 @@ def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
     b, s = input_ids.shape
     if positions is None:
         positions = positions_from_mask(attention_mask)
-    x = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    x = _embed_in(params, cfg, input_ids, positions)
     causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
     keymask = attention_mask[:, None, None, :].astype(bool)
     bias = jnp.where(causal & keymask, 0.0, -1e9).astype(jnp.float32)
 
-    def block(layer, x):
-        a, _ = _attention(
-            layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
-            positions, bias,
-        )
-        x = x + a
-        return x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+    if cfg.arch == "gpt2":
+        def block(layer, x):
+            return _gpt2_block(layer, cfg, x, bias)[0]
+    else:
+        def block(layer, x):
+            a, _ = _attention(
+                layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+                positions, bias,
+            )
+            x = x + a
+            return x + _mlp(layer,
+                            _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
     if cfg.remat:
         # activation recomputation (reference: use_gradient_checkpoint_
@@ -179,7 +279,7 @@ def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
         block = jax.checkpoint(block)
     for layer in params["layers"]:
         x = block(layer, x)
-    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _final_norm(params, cfg, x)
     return _unembed(params, cfg, x)
 
 
@@ -242,7 +342,7 @@ def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
     """Shared by prefill (S=prompt len) and decode (S=1). ``attention_mask``
     here is the mask over the FULL cache window (B, total_len)."""
     b, s = input_ids.shape
-    x = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    x = _embed_in(params, cfg, input_ids, positions)
     # query positions index into the cache window
     q_pos = positions  # (B, S)
     k_pos = jnp.arange(total_len)[None, :]  # cache slots
@@ -253,6 +353,11 @@ def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
     ).astype(jnp.float32)
     new_cache = []
     for layer, lc in zip(params["layers"], cache):
+        if cfg.arch == "gpt2":
+            x, nc = _gpt2_block(layer, cfg, x, bias, cache=lc,
+                                cache_len=cache_len)
+            new_cache.append(nc)
+            continue
         a, nc = _attention(
             layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
             q_pos, bias, cache=lc, cache_len=cache_len,
@@ -260,7 +365,7 @@ def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
         new_cache.append(nc)
         x = x + a
         x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
-    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _final_norm(params, cfg, x)
     return _unembed(params, cfg, x), new_cache
 
 

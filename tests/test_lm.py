@@ -293,3 +293,39 @@ def test_greedy_generate_matches_hf():
         max_new_tokens=new, eos_id=1, pad_id=0))
     # HF pads after its own eos handling is off; compare raw greedy paths
     np.testing.assert_array_equal(got, hf_out)
+
+
+def test_gpt2_parity_and_generate():
+    """GPT2 family: logits parity vs transformers GPT2LMHeadModel and
+    cache-decode self-consistency."""
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+    from jsa_rag_tpu.models.hf_import import import_gpt2, gpt2_config_from_hf
+
+    hf_cfg = GPT2Config(vocab_size=120, n_embd=32, n_layer=2, n_head=4,
+                        n_positions=64)
+    torch.manual_seed(2)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+    cfg = gpt2_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = import_gpt2(hf.state_dict(), cfg.layers)
+
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 120, (2, 12)).astype(np.int64)
+    mask = np.ones((2, 12), np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).logits.numpy()
+    got = np.asarray(lm_logits(params, cfg, jnp.array(ids, jnp.int32),
+                               jnp.array(mask, jnp.int32)))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    # greedy generate parity vs HF
+    with torch.no_grad():
+        hf_gen = hf.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_new_tokens=5, do_sample=False, num_beams=1,
+            pad_token_id=0, eos_token_id=None)[:, 12:].numpy()
+    ours = np.asarray(greedy_generate(
+        params, cfg, jnp.array(ids, jnp.int32), jnp.array(mask, jnp.int32),
+        max_new_tokens=5, eos_id=1, pad_id=0))
+    np.testing.assert_array_equal(ours, hf_gen)
