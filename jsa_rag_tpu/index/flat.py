@@ -41,8 +41,8 @@ from ..parallel.mesh import AXES
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _search_one_shard(q, emb_shard, *, k, n_true, shard_rows, n_padded,
-                      method, axes):
+def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
+                      shard_rows, n_padded, method, axes):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
     this device's (shard_rows, d) block of the global (N_pad, d) matrix.
 
@@ -53,7 +53,14 @@ def _search_one_shard(q, emb_shard, *, k, n_true, shard_rows, n_padded,
     """
     max_pads = min(shard_rows, n_padded - n_true)
     k_local = min(shard_rows, k + max_pads)
-    scores, local_idx = mips.mips_topk(q, emb_shard, k_local, method=method)
+    if scales_shard is not None:
+        from ..ops.mips_pallas2 import mips_topk_pallas2_int8
+
+        scores, local_idx = mips_topk_pallas2_int8(q, emb_shard,
+                                                   scales_shard, k_local)
+    else:
+        scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
+                                           method=method)
     # flat position of this device's shard among all index shards
     shard_pos = jax.lax.axis_index(axes)
     gidx = local_idx + shard_pos * shard_rows
@@ -84,8 +91,11 @@ class ShardedFlatIndex:
         self.dim = dim
         # fp16 is stored as raw IEEE-half bits (int16): Mosaic has no f16
         # type, so the fused kernel decodes in-kernel (mips_pallas2_f16) —
-        # reference-parity fp16 memory (src/index.py:52) at pallas speed
+        # reference-parity fp16 memory (src/index.py:52) at pallas speed.
+        # int8 is per-row scalar quantization (FAISS ivfsq/pq storage
+        # capability, src/index.py:309-352): 1 byte/element + f32 row scale.
         self.store_f16_bits = jnp.dtype(dtype) == jnp.float16
+        self.store_int8 = jnp.dtype(dtype) == jnp.int8
         self.dtype = jnp.int16 if self.store_f16_bits else dtype
         self.method = method
         self.n_passages = n_passages
@@ -98,6 +108,10 @@ class ShardedFlatIndex:
         self.embeddings = jax.device_put(
             jnp.zeros((self.n_padded, dim), dtype=self.dtype), self.sharding
         )
+        self.scales = None
+        if self.store_int8:
+            self.scales = jax.device_put(
+                jnp.zeros((self.n_padded, 1), jnp.float32), self.sharding)
         self._search_fn = None
 
     # ------------------------------------------------------------------ build
@@ -113,6 +127,12 @@ class ShardedFlatIndex:
             from ..ops.mips_pallas2 import f16_to_bits
 
             block = f16_to_bits(jnp.asarray(block))
+        elif self.store_int8:
+            from ..ops.mips_pallas2 import quantize_int8
+
+            block, scale = quantize_int8(jnp.asarray(block))
+            self.scales = _update_rows(self.scales, scale, start,
+                                       self.sharding)
         else:
             block = jnp.asarray(block, dtype=self.dtype)
         self.embeddings = _update_rows(
@@ -127,9 +147,10 @@ class ShardedFlatIndex:
         Returns (scores (B, k) f32, global ids (B, k) int32), both replicated.
         """
         k = min(k, self.n_passages)
-        fn = self._get_search_fn(k)
         q = jnp.asarray(queries, jnp.float32)
-        return fn(q, self.embeddings)
+        if self.store_int8:
+            return self._get_search_fn(k)(q, self.embeddings, self.scales)
+        return self._get_search_fn(k)(q, self.embeddings)
 
     def _get_search_fn(self, k: int):
         key = (k, self.n_passages)
@@ -143,10 +164,14 @@ class ShardedFlatIndex:
                 method=self.method,
                 axes=AXES.all,
             )
+            if self.store_int8:
+                in_specs = (P(), P(AXES.all, None), P(AXES.all, None))
+            else:
+                in_specs = (P(), P(AXES.all, None))
             mapped = shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(P(), P(AXES.all, None)),
+                in_specs=in_specs,
                 out_specs=(P(), P()),
                 check_vma=False,
             )
@@ -196,12 +221,15 @@ class ShardedFlatIndex:
         return idx
 
     def embeddings_as_float(self) -> jax.Array:
-        """Stored rows decoded to f32 (bits storage included) — used by IVF
-        training and analysis paths."""
+        """Stored rows decoded to f32 (bits/quantized storage included) —
+        used by IVF training and analysis paths."""
         e = self.embeddings[: self.n_passages]
         if self.store_f16_bits or e.dtype == jnp.int16:
             return jax.lax.bitcast_convert_type(
                 e, jnp.float16).astype(jnp.float32)
+        if self.store_int8:
+            return (e.astype(jnp.float32)
+                    * self.scales[: self.n_passages])
         return e.astype(jnp.float32)
 
     def iter_shard_bounds(self) -> Iterator[tuple[int, int]]:

@@ -116,3 +116,34 @@ def test_fp16_bits_storage(mesh_flat):
     back = np.asarray(idx.embeddings_as_float())
     np.testing.assert_allclose(back, e.astype(np.float16).astype(np.float32),
                                rtol=1e-6)
+
+
+def test_int8_quantized_storage(mesh_flat):
+    """int8 scalar-quantized index (1 byte/element): search matches the
+    dequantized oracle; high recall vs exact f32."""
+    rng = np.random.default_rng(7)
+    n, d, k = 600, 64, 20
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.int8)
+    assert idx.store_int8 and idx.scales is not None
+    idx.set_embeddings(0, e[:300])
+    idx.set_embeddings(300, e[300:])
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    vs, vi = idx.search(jnp.asarray(q), k)
+    vi = np.asarray(vi)
+    # oracle on dequantized embeddings AND dequantized queries (the kernel
+    # quantizes the query per-row too for the int8 MXU matmul)
+    from jsa_rag_tpu.ops.mips_pallas2 import quantize_int8
+    qv, qs_scale = quantize_int8(jnp.asarray(q))
+    deq_q = np.asarray(qv, np.float32) * np.asarray(qs_scale)
+    deq = np.asarray(idx.embeddings_as_float())
+    s = deq_q @ deq.T
+    oi = np.argsort(-s, axis=1)[:, :k]
+    ov = np.take_along_axis(s, oi, axis=1)
+    np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-4, atol=1e-4)
+    # recall vs true f32 embeddings
+    strue = q @ e.T
+    ti = np.argsort(-strue, axis=1)[:, :k]
+    recall = np.mean([len(set(vi[i]) & set(ti[i])) / k for i in range(8)])
+    assert recall >= 0.9, recall
