@@ -45,7 +45,7 @@ def init_logger(opt: Options) -> None:
 
 def build_index_for(opt: Options, model, mesh):
     dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
-             "float32": jnp.float32}[opt.index_dtype]
+             "float32": jnp.float32, "int8": jnp.int8}[opt.index_dtype]
     dim = model.retriever.cfg.bert.hidden
     n = len(model.store)
     if opt.index_mode == "ivf":
