@@ -81,6 +81,9 @@ class Options:
     closed_book: bool = False
     freeze_retriever_steps: int = -1
     refresh_index: str = "-1"
+    # >0: double-buffered refresh spread over steps (batches per step)
+    # instead of the blocking rebuild (SURVEY.md §7 "hard parts")
+    incremental_refresh_batches: int = 0
     qa_prompt_format: str = "question: {question} answer: <extra_id_0>"
 
     # ----- JSA (src/options.py:452-552)

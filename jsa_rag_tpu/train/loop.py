@@ -65,6 +65,12 @@ def train(
     refresh = IndexRefreshScheduler(opt.refresh_index,
                                     opt.freeze_retriever_steps,
                                     opt.train_retriever)
+    refresher = None
+    if opt.incremental_refresh_batches > 0:
+        from ..index.refresh import IncrementalIndexRefresher
+
+        refresher = IncrementalIndexRefresher(
+            model, index, batches_per_step=opt.incremental_refresh_batches)
     vg = model.loss_and_grad_fn(mode)
 
     @jax.jit
@@ -91,8 +97,20 @@ def train(
                     refresh.is_time_to_refresh(step)):
                 if not (step == 0 and opt.load_index_path is not None):
                     t0 = time.time()
-                    model.build_index(index, params, iter_stats)
+                    if refresher is not None and step > 1:
+                        # double-buffered: start the sweep; batches run
+                        # inside subsequent steps instead of stalling here
+                        if not refresher.active:
+                            refresher.start()
+                    else:
+                        model.build_index(index, params, iter_stats)
                     iter_stats["runtime/indexing"] = (time.time() - t0, 1)
+            if refresher is not None and refresher.active:
+                t0 = time.time()
+                if refresher.step(params):
+                    iter_stats["index/refresh_swapped"] = (1.0, 1)
+                iter_stats["runtime/incremental_refresh"] = (
+                    time.time() - t0, 1)
 
             queries, targets = batch["query"], batch["target"]
             rng, sub = jax.random.split(rng)
