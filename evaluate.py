@@ -17,7 +17,7 @@ import jax
 from jsa_rag_tpu.config import Options
 from jsa_rag_tpu.data.passages import PassageStore
 from jsa_rag_tpu.evaluation import evaluate, run_retrieval_only
-from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.index import build_index_for, load_index
 from jsa_rag_tpu.model_io import load_or_initialize_model
 from jsa_rag_tpu.parallel.mesh import make_mesh, multihost_init
 
@@ -37,10 +37,16 @@ def main(argv=None) -> None:
     model, params, step = load_or_initialize_model(opt, store)
 
     if opt.load_index_path:
-        index = ShardedFlatIndex.load(opt.load_index_path, mesh)
+        index = load_index(opt.load_index_path, mesh)
+        dim = model.retriever.cfg.bert.hidden
+        if index.dim != dim:
+            raise ValueError(
+                f"loaded index dim {index.dim} != retriever hidden {dim} — "
+                f"the index at {opt.load_index_path} was built with a "
+                f"different encoder")
     else:
-        index = ShardedFlatIndex(
-            mesh, len(store), model.retriever.cfg.bert.hidden)
+        index = build_index_for(opt, len(store),
+                                model.retriever.cfg.bert.hidden, mesh)
         model.build_index(index, params)
         if opt.save_index_path and jax.process_index() == 0:
             index.save(opt.save_index_path,

@@ -68,8 +68,11 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             ret_scores = np.zeros((len(queries), len(passages[0])),
                                   np.float32)
         else:
+            filt = getattr(task, "filter", None)
             _, ret_scores, passages = model.retrieve(
-                index, params, queries, opt.n_context)
+                index, params, queries, opt.n_context,
+                batch_metadata=batch.get("metadata"),
+                filtering_fun=filt if callable(filt) else None)
 
         # substring recall over retrieved passages (evaluate.py:206-209)
         for i in range(len(queries)):

@@ -191,10 +191,17 @@ class ShardedFlatIndex:
         rows = np.array_split(host, n_files, axis=0)
         for i, r in enumerate(rows):
             np.save(os.path.join(path, f"embeddings.{i}.npy"), r)
+        if self.store_int8:
+            scales = np.asarray(
+                jax.device_get(self.scales))[: self.n_passages]
+            for i, r in enumerate(np.array_split(scales, n_files, axis=0)):
+                np.save(os.path.join(path, f"scales.{i}.npy"), r)
         meta = {
             "n_passages": self.n_passages,
             "dim": self.dim,
             "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
+            "store_int8": self.store_int8,
+            "store_f16_bits": self.store_f16_bits,
             "n_files": n_files,
             "kind": "flat",
         }
@@ -205,19 +212,29 @@ class ShardedFlatIndex:
     def load(cls, path: str, mesh: Mesh, method: mips.Method = "auto"):
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        idx = cls(
-            mesh,
-            meta["n_passages"],
-            meta["dim"],
-            dtype=jnp.dtype(meta["dtype"]),
-            method=method,
-        )
+        # saved arrays are the STORED representation (bits / int8 codes) —
+        # construct with a plain dtype and write rows raw, restoring the
+        # storage flags afterwards (re-quantizing codes would corrupt scales)
+        idx = cls(mesh, meta["n_passages"], meta["dim"],
+                  dtype=jnp.dtype(meta["dtype"]), method=method)
         start = 0
         for i in range(meta["n_files"]):
             block = np.load(os.path.join(path, f"embeddings.{i}.npy"))
-            idx.set_embeddings(start, block)
+            idx.embeddings = _update_rows(
+                idx.embeddings, jnp.asarray(block, idx.dtype), start,
+                idx.sharding)
+            if meta.get("store_int8"):
+                scale = np.load(os.path.join(path, f"scales.{i}.npy"))
+                if idx.scales is None:
+                    idx.scales = jax.device_put(
+                        jnp.zeros((idx.n_padded, 1), jnp.float32),
+                        idx.sharding)
+                idx.scales = _update_rows(idx.scales, jnp.asarray(scale),
+                                          start, idx.sharding)
             start += block.shape[0]
         assert start == meta["n_passages"]
+        idx.store_int8 = bool(meta.get("store_int8", False))
+        idx.store_f16_bits = bool(meta.get("store_f16_bits", False))
         return idx
 
     def embeddings_as_float(self) -> jax.Array:

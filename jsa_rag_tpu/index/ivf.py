@@ -61,6 +61,11 @@ class ShardedIVFIndex:
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
+        if jnp.dtype(dtype) in (jnp.int8, jnp.int16):
+            raise ValueError(
+                "quantized IVF storage is not implemented; use "
+                "--index_mode flat with --index_dtype int8/float16, or IVF "
+                "with bfloat16/float32")
         self.dtype = dtype
         self.n_shards = mesh.devices.size
         c = n_lists or auto_n_lists(n_passages)
@@ -149,7 +154,8 @@ class ShardedIVFIndex:
     @classmethod
     def from_flat(cls, flat, n_lists: int | None = None,
                   n_probe: int | None = None, **kw) -> "ShardedIVFIndex":
-        dtype = jnp.bfloat16 if flat.dtype == jnp.int16 else flat.dtype
+        dtype = (jnp.bfloat16 if flat.dtype in (jnp.int16, jnp.int8)
+                 else flat.dtype)
         idx = cls(flat.mesh, flat.n_passages, flat.dim, dtype=dtype,
                   n_lists=n_lists, n_probe=n_probe)
         idx.train(flat.embeddings_as_float(), **kw)

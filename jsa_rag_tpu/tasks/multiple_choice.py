@@ -78,6 +78,21 @@ class Task(BaseTask):
             permuted.append(ex)
         return permuted
 
+    @staticmethod
+    def data_iterator(*args, **kwargs):
+        """Wrap the base iterator to expand each example into its
+        permutations (reference: src/tasks/multiple_choice.py:105-117)."""
+        super_iterator = BaseTask.data_iterator(*args, **kwargs)
+        opt = kwargs.get("opt")
+        if opt is None:
+            perms_type = "single"
+        elif kwargs.get("is_eval", False):
+            perms_type = opt.multiple_choice_eval_permutations
+        else:
+            perms_type = opt.multiple_choice_train_permutations
+        for example in super_iterator:
+            yield from Task.get_permutations(example, perms_type)
+
     def evaluation(self, prediction, ground_truths):
         return {"accuracy": exact_match_score(prediction, ground_truths)}
 

@@ -116,9 +116,12 @@ def train(
             rng, sub = jax.random.split(rng)
             t0 = time.time()
             with jax.profiler.TraceAnnotation("retrieve+tokenize"):
+                filt = getattr(task, "filter", None)
                 train_batch = model.build_batch(
                     mode, index, params, queries, targets, iter_stats,
-                    file_passages=batch.get("passages"))
+                    file_passages=batch.get("passages"),
+                    batch_metadata=batch.get("metadata"),
+                    filtering_fun=filt if callable(filt) else None)
             iter_stats["runtime/retrieve+tokenize"] = (time.time() - t0, 1)
 
             t0 = time.time()

@@ -68,14 +68,18 @@ class ApplyFns:
         the posterior owns only a query tower and *shares* the prior's passage
         tower; the trainable tree stores just the query tower and the shared
         tower is grafted in here, inside the differentiable region, so its
-        gradient accumulates from both retrievers."""
-        if not self.decouple:
-            return params
+        gradient accumulates from both retrievers. With no posterior at all
+        (simplify_JSA: src/util.py:199-207 trains no separate posterior) the
+        prior serves both roles."""
         out = dict(params)
-        out["post_retriever"] = {
-            "query": params["post_retriever"]["query"],
-            "passage": params["retriever"]["passage"],
-        }
+        if "post_retriever" not in params:
+            out["post_retriever"] = params["retriever"]
+            return out
+        if self.decouple:
+            out["post_retriever"] = {
+                "query": params["post_retriever"]["query"],
+                "passage": params["retriever"]["passage"],
+            }
         return out
 
 

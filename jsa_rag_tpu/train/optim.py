@@ -30,16 +30,29 @@ def _label_tree(params: dict, opt: Options) -> dict:
         return jax.tree_util.tree_map(lambda _: label, tree)
 
     labels: dict[str, Any] = {}
+    lora_active = opt.use_lora and "lora" in params
     for key, sub in params.items():
-        if key in ("generator", "lora"):
+        if key == "generator":
+            # with LoRA the base generator is stop-gradient'd; it must be in
+            # the frozen group or AdamW's decoupled weight decay would shrink
+            # it every step despite zero grads (torch AdamW skips grad-less
+            # params, so the reference never decays it)
+            labels[key] = fill(sub, "frozen" if lora_active else "lm")
+        elif key == "lora":
             labels[key] = fill(sub, "lm")
         elif key in ("retriever", "post_retriever"):
-            if not opt.separate_learning_rates:
+            if opt.query_side_retriever_training:
+                # query-side: passage towers run under stop_gradient
+                # (models/retriever.py) — freeze them; query towers at
+                # lr_retriever per src/util.py:208-213
+                lab = {}
+                for tower, tsub in sub.items():
+                    trainable = tower in ("query", "shared") and \
+                        opt.train_retriever
+                    lab[tower] = fill(tsub, "retr" if trainable else "frozen")
+                labels[key] = lab
+            elif not opt.separate_learning_rates:
                 labels[key] = fill(sub, "lm" if opt.train_retriever
-                                   else "frozen")
-            elif opt.query_side_retriever_training:
-                # query-side: whole (trainable) retriever at lr_retriever
-                labels[key] = fill(sub, "retr" if opt.train_retriever
                                    else "frozen")
             else:
                 lab = {}

@@ -98,6 +98,12 @@ class RAGModel:
         """(B, K) global passage ids -> passages (host-side resolution).
         Each dict carries its global id as ``_gid`` so downstream filters can
         hand back id-aligned results."""
+        n = len(self.store)
+        if np.max(ids_matrix) >= n:
+            raise ValueError(
+                f"retrieved passage id {int(np.max(ids_matrix))} >= corpus "
+                f"size {n} — the index was built over a different corpus "
+                f"than --passages")
         return [[dict(self.store[int(i)], _gid=int(i)) for i in row]
                 for row in ids_matrix]
 
@@ -117,11 +123,25 @@ class RAGModel:
             self._jit_cache[key] = make()
         return self._jit_cache[key]
 
+    def _posterior_params(self, params):
+        """Posterior tower with decouple/simplify handling: grafts the shared
+        passage tower when decoupled (reference: src/retrievers.py:202-207)
+        and falls back to the prior when no posterior exists
+        (simplify_JSA has no separate posterior, src/util.py:199-207)."""
+        post = params.get("post_retriever")
+        if post is None:
+            return params["retriever"]
+        if "passage" not in post and "passage" in params["retriever"]:
+            return {"query": post["query"],
+                    "passage": params["retriever"]["passage"]}
+        return post
+
     def embed_queries(self, params, texts, posterior: bool = False):
         ids, mask = self.retriever_tokenize(texts)
         fn = self._jit(("embed_q", posterior), lambda: jax.jit(
             lambda p, i, m: self.retriever.embed_queries(p, i, m)))
-        tower = params["post_retriever" if posterior else "retriever"]
+        tower = (self._posterior_params(params) if posterior
+                 else params["retriever"])
         return fn(tower, jnp.asarray(ids), jnp.asarray(mask))
 
     def retrieve(self, index, params, queries: list[str], topk: int,
@@ -179,10 +199,13 @@ class RAGModel:
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
         fn = self._jit(("retrieve_pair", topk, index.n_passages), lambda:
                        self._make_retrieve_pair_fn(index, topk))
+        scales = (index.scales if getattr(index, "store_int8", False)
+                  else jnp.zeros((1, 1), jnp.float32))
         _, prior_ids, _, post_ids = fn(
-            params["retriever"], params["post_retriever"],
+            params["retriever"], self._posterior_params(params),
             jnp.asarray(q_ids), jnp.asarray(q_mask),
-            jnp.asarray(pq_ids), jnp.asarray(pq_mask), index.embeddings)
+            jnp.asarray(pq_ids), jnp.asarray(pq_mask), index.embeddings,
+            scales)
         prior_ids, post_ids = np.asarray(prior_ids), np.asarray(post_ids)
         if iter_stats is not None:
             iter_stats["runtime/search"] = (time.time() - t0, 1)
@@ -190,18 +213,22 @@ class RAGModel:
                 self.passage_texts(post_ids))
 
     def _make_retrieve_pair_fn(self, index, topk):
-        search = index._get_search_fn(topk) if hasattr(
-            index, "_get_search_fn") else None
+        search = index._get_search_fn(topk)
+        int8 = getattr(index, "store_int8", False)
 
         @jax.jit
-        def fn(prior_tower, post_tower, q_ids, q_mask, pq_ids, pq_mask, emb):
+        def fn(prior_tower, post_tower, q_ids, q_mask, pq_ids, pq_mask,
+               emb, scales):
             prior_q = self.retriever.embed_queries(prior_tower, q_ids,
                                                    q_mask)
             post_q = self.retriever.embed_queries(post_tower, pq_ids,
                                                   pq_mask)
             q_all = jnp.concatenate(
                 [prior_q, post_q], axis=0).astype(jnp.float32)
-            scores, ids = search(q_all, emb)
+            if int8:
+                scores, ids = search(q_all, emb, scales)
+            else:
+                scores, ids = search(q_all, emb)
             b = q_ids.shape[0]
             return (scores[:b], ids[:b], scores[b:], ids[b:])
 
@@ -218,7 +245,8 @@ class RAGModel:
         fn = self._jit(("rerank_embed", posterior), lambda: jax.jit(
             lambda p, i, m: self.retriever.embed_passages(
                 p, i.reshape(-1, i.shape[-1]), m.reshape(-1, m.shape[-1]))))
-        tower = params["post_retriever" if posterior else "retriever"]
+        tower = (self._posterior_params(params) if posterior
+                 else params["retriever"])
         p_emb = fn(tower, jnp.asarray(p_ids), jnp.asarray(p_mask))
         p_emb = np.asarray(p_emb).reshape(cand_ids.shape[0], n_rr, -1)
         scores = np.einsum("bh,bkh->bk", np.asarray(q_emb, np.float32),
@@ -282,17 +310,22 @@ class RAGModel:
         return [list(p[:k]) for p in file_passages]
 
     def build_batch(self, mode: str, index, params, queries, targets,
-                    iter_stats: dict | None = None, file_passages=None):
-        """Retrieve + tokenize everything the jitted mode loss needs."""
+                    iter_stats: dict | None = None, file_passages=None,
+                    batch_metadata=None, filtering_fun=None):
+        """Retrieve + tokenize everything the jitted mode loss needs.
+        ``filtering_fun`` is the task's anti-cheat filter
+        (lm/mlm/section: src/tasks/base.py:97-132)."""
         topk = self.opt.n_context
         use_file = ((self.opt.use_file_passages or self.opt.closed_book)
                     and file_passages is not None)
+        retr_kw = dict(iter_stats=iter_stats, batch_metadata=batch_metadata,
+                       filtering_fun=filtering_fun)
         if mode == "concat":
             if use_file:
                 passages = self._supplied_passages(file_passages, topk)
             else:
                 _, _, passages = self.retrieve(index, params, queries, topk,
-                                               iter_stats=iter_stats)
+                                               **retr_kw)
             g = self._generator_rows(queries, passages, targets)
             return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
 
@@ -301,7 +334,7 @@ class RAGModel:
                 passages = self._supplied_passages(file_passages, topk)
             else:
                 ids, _, passages = self.retrieve(
-                    index, params, queries, topk, iter_stats=iter_stats)
+                    index, params, queries, topk, **retr_kw)
             q_ids, q_mask = self.retriever_tokenize(queries)
             p_ids, p_mask = self._tokenize_passage_matrix(passages)
             g = self._generator_rows(queries, passages, targets)
@@ -326,6 +359,15 @@ class RAGModel:
                 u_passages.append(p + [p[0]] * (width - len(p)))
             post_passages = [p[:topk] for p in u_passages]
             prior_passages = post_passages
+            self.last_info = {"query": queries[0], "response": targets[0]}
+        elif filtering_fun is not None:
+            # filtering is host-side; use the two-call path
+            post_ids_np, _, post_passages = self.retrieve(
+                index, params, post_queries, topk, posterior=True, **retr_kw)
+            prior_ids_np, _, prior_passages = self.retrieve(
+                index, params, queries, topk, **retr_kw)
+            union, valid = self.build_union(post_ids_np, prior_ids_np)
+            u_passages = self.passage_texts(union)
             self.last_info = {"query": queries[0], "response": targets[0]}
         else:
             prior_ids_np, post_ids_np, prior_passages, post_passages = \

@@ -98,15 +98,13 @@ def test_multiple_choice_eval(tmp_path, eval_setup):
     import dataclasses
     mc_opt = dataclasses.replace(opt) if dataclasses.is_dataclass(opt) else opt
     data_path = tmp_path / "mc.jsonl"
-    from jsa_rag_tpu.tasks.multiple_choice import Task as MCTask
     ex = {"question": "pick", "options": {"A": "x", "B": "y"}, "answer": "A"}
-    perms = MCTask.get_permutations(ex, "cyclic")
-    with open(data_path, "w") as f:
-        for p in perms:  # raw examples; evaluate() runs task.process
-            f.write(json.dumps(p) + "\n")
+    with open(data_path, "w") as f:  # raw example; the task's data_iterator
+        f.write(json.dumps(ex) + "\n")  # expands permutations itself
     old_task = opt.task
     opt.task = "multiple_choice"
     opt.multiple_choice_num_options = 2
+    opt.multiple_choice_eval_permutations = "cyclic"
     opt.use_file_passages = False
     try:
         metrics = evaluate(model, index, params, opt, str(data_path),

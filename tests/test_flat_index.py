@@ -147,3 +147,45 @@ def test_int8_quantized_storage(mesh_flat):
     ti = np.argsort(-strue, axis=1)[:, :k]
     recall = np.mean([len(set(vi[i]) & set(ti[i])) / k for i in range(8)])
     assert recall >= 0.9, recall
+
+
+def test_int8_save_load_roundtrip(tmp_path, mesh_flat):
+    """int8 indexes persist codes AND scales; reload must not re-quantize
+    (review finding #3)."""
+    rng = np.random.default_rng(9)
+    n, d = 200, 32
+    e = rng.standard_normal((n, d)).astype(np.float32) * \
+        rng.uniform(0.5, 3.0, (n, 1)).astype(np.float32)  # varied norms
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.int8)
+    idx.set_embeddings(0, e)
+    idx.save(str(tmp_path / "i8"), n_files=4)
+    idx2 = ShardedFlatIndex.load(str(tmp_path / "i8"), mesh_flat)
+    np.testing.assert_array_equal(np.asarray(idx2.embeddings),
+                                  np.asarray(idx.embeddings))
+    np.testing.assert_allclose(np.asarray(idx2.scales),
+                               np.asarray(idx.scales), rtol=1e-6)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    v1, i1 = idx.search(jnp.asarray(q), 8)
+    v2, i2 = idx2.search(jnp.asarray(q), 8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_load_index_kind_dispatch(tmp_path, mesh_flat):
+    """load_index dispatches on the saved kind (review finding #9)."""
+    from jsa_rag_tpu.index import load_index
+    from jsa_rag_tpu.index.ivf import ShardedIVFIndex
+
+    rng = np.random.default_rng(10)
+    n, d = 256, 16
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    flat = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32,
+                            method="exact")
+    flat.set_embeddings(0, e)
+    flat.save(str(tmp_path / "f"))
+    ivf = ShardedIVFIndex.from_flat(flat, n_lists=8, n_probe=2, iters=3)
+    ivf.save(str(tmp_path / "v"))
+    assert isinstance(load_index(str(tmp_path / "f"), mesh_flat),
+                      ShardedFlatIndex)
+    assert isinstance(load_index(str(tmp_path / "v"), mesh_flat),
+                      ShardedIVFIndex)

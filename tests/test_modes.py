@@ -250,3 +250,70 @@ def test_build_batch_closed_book(setup):
         assert np.isfinite(float(loss))
     finally:
         model.opt.closed_book = False
+
+
+def test_simplify_jsa_without_posterior_params(setup):
+    """simplify_JSA trains with NO posterior tree: the prior serves both
+    roles (review finding #1)."""
+    import dataclasses, functools
+    from jsa_rag_tpu.train.modes import jsa_loss
+    model, index, params = setup
+    fns = dataclasses.replace(model.fns, simplify_jsa=True)
+    slim = {"retriever": params["retriever"],
+            "generator": params["generator"]}
+    model.opt.simplify_JSA = True
+    try:
+        batch = model.build_batch("jsa", index, slim, QUERIES, TARGETS)
+        vg = jax.jit(jax.value_and_grad(functools.partial(jsa_loss, fns),
+                                        has_aux=True))
+        (loss, aux), grads = vg(slim, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        assert set(grads) == {"retriever", "generator"}
+    finally:
+        model.opt.simplify_JSA = False
+
+
+def test_jsa_with_int8_index(setup):
+    """retrieve_pair's fused path must pass scales for int8 indexes
+    (review finding #2)."""
+    model, _, params = setup
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+    idx8 = ShardedFlatIndex(make_mesh(1, 8), len(model.store), 32,
+                            dtype=jnp.int8)
+    model.build_index(idx8, params)
+    batch = model.build_batch("jsa", idx8, params, QUERIES, TARGETS)
+    vg = model.loss_and_grad_fn("jsa")
+    (loss, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_rerank_decoupled_posterior(setup):
+    """rerank with a decoupled (query-only) posterior grafts the shared
+    passage tower (review finding #10)."""
+    model, index, params = setup
+    dec = {"retriever": params["retriever"],
+           "post_retriever": {"query": params["post_retriever"]["query"]},
+           "generator": params["generator"]}
+    model.opt.retrieve_with_rerank = True
+    model.opt.n_to_rerank_with_retrieve_with_rerank = 6
+    try:
+        ids, scores, _ = model.retrieve(index, dec, QUERIES, 3,
+                                        posterior=True)
+        assert ids.shape == (2, 3)
+    finally:
+        model.opt.retrieve_with_rerank = False
+
+
+def test_filter_excludes_own_passage(setup):
+    """anti-cheat filter wired through retrieve (review finding #7)."""
+    from jsa_rag_tpu.tasks.base import filter_results_by_id
+    model, index, params = setup
+    q = ["w1 w2 some words"]
+    ids_plain, _, _ = model.retrieve(index, params, q, 3)
+    top1 = model.store[int(ids_plain[0, 0])]["id"]
+    meta = [{"id": top1}]
+    ids_f, _, passages_f = model.retrieve(
+        index, params, q, 3, batch_metadata=meta,
+        filtering_fun=filter_results_by_id)
+    assert passages_f[0][0]["id"] != top1  # own chunk demoted
+    assert len(passages_f[0]) == 3  # still topk results

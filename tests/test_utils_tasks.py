@@ -287,3 +287,33 @@ def test_train_resume_continues_step(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params2["generator"]["embed"]),
         np.asarray(params["generator"]["embed"]))
+
+
+def test_lora_base_not_decayed():
+    """With LoRA the stop-gradient'd base generator must be in the frozen
+    optimizer group — AdamW decay would otherwise shrink it despite zero
+    grads (review finding #4)."""
+    from jsa_rag_tpu.train.optim import _label_tree
+
+    params = {"generator": {"w": jnp.ones(2)},
+              "lora": {"layers": [{"q_w": {"A": jnp.ones(2)}}]},
+              "retriever": {"query": {"w": jnp.ones(2)},
+                            "passage": {"w": jnp.ones(2)}}}
+    opt = Options(use_lora=True)
+    labels = _label_tree(params, opt)
+    assert labels["generator"]["w"] == "frozen"
+    assert labels["lora"]["layers"][0]["q_w"]["A"] == "lm"
+
+    opt2 = Options(use_lora=False, query_side_retriever_training=True)
+    labels2 = _label_tree(params, opt2)
+    assert labels2["generator"]["w"] == "lm"
+    assert labels2["retriever"]["passage"]["w"] == "frozen"
+    assert labels2["retriever"]["query"]["w"] == "retr"
+
+
+def test_ivf_rejects_quantized_dtype():
+    from jsa_rag_tpu.index.ivf import ShardedIVFIndex
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        ShardedIVFIndex(make_mesh(1, 8), 100, 16, dtype=jnp.int8)

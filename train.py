@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jsa_rag_tpu.config import Options
 from jsa_rag_tpu.data.passages import PassageStore
 from jsa_rag_tpu.evaluation import evaluate
-from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.index import build_index_for, load_index
 from jsa_rag_tpu.model_io import load_or_initialize_model
 from jsa_rag_tpu.parallel.mesh import make_mesh, multihost_init
 from jsa_rag_tpu.train.loop import train
@@ -43,20 +43,6 @@ def init_logger(opt: Options) -> None:
         format="%(asctime)s | %(name)s | %(message)s", handlers=handlers)
 
 
-def build_index_for(opt: Options, model, mesh):
-    dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
-             "float32": jnp.float32, "int8": jnp.int8}[opt.index_dtype]
-    dim = model.retriever.cfg.bert.hidden
-    n = len(model.store)
-    if opt.index_mode == "ivf":
-        from jsa_rag_tpu.index.ivf import ShardedIVFIndex
-
-        return ShardedIVFIndex(mesh, n, dim, dtype=dtype,
-                               n_lists=opt.ivf_n_lists or None,
-                               n_probe=opt.ivf_n_probe or None)
-    return ShardedFlatIndex(mesh, n, dim, dtype=dtype)
-
-
 def main(argv=None) -> None:
     opt = Options.from_args(argv)
     multihost_init()
@@ -71,9 +57,16 @@ def main(argv=None) -> None:
     model, params, step = load_or_initialize_model(opt, store)
 
     if opt.load_index_path:
-        index = ShardedFlatIndex.load(opt.load_index_path, mesh)
+        index = load_index(opt.load_index_path, mesh)
+        dim = model.retriever.cfg.bert.hidden
+        if index.dim != dim:
+            raise ValueError(
+                f"loaded index dim {index.dim} != retriever hidden {dim} — "
+                f"the index at {opt.load_index_path} was built with a "
+                f"different encoder")
     else:
-        index = build_index_for(opt, model, mesh)
+        index = build_index_for(opt, len(store),
+                                model.retriever.cfg.bert.hidden, mesh)
 
     tx, _ = set_optim(opt, params)
     opt_state = tx.init(params)
