@@ -37,13 +37,8 @@ def main(argv=None) -> None:
     model, params, step = load_or_initialize_model(opt, store)
 
     if opt.load_index_path:
-        index = load_index(opt.load_index_path, mesh)
-        dim = model.retriever.cfg.bert.hidden
-        if index.dim != dim:
-            raise ValueError(
-                f"loaded index dim {index.dim} != retriever hidden {dim} — "
-                f"the index at {opt.load_index_path} was built with a "
-                f"different encoder")
+        index = load_index(opt.load_index_path, mesh,
+                           expected_dim=model.retriever.cfg.bert.hidden)
     else:
         index = build_index_for(opt, len(store),
                                 model.retriever.cfg.bert.hidden, mesh)

@@ -52,13 +52,19 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
     batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
     batches = _pad_batches_across_processes(batches)
 
+    task_filter = getattr(task, "filter", None)
+    task_filter = task_filter if callable(task_filter) else None
+
     for batch in batches:
         queries, targets = batch["query"], batch["target"]
         if batch.get("__dummy__"):
-            # padding batch: run the collective search so SPMD programs stay
-            # aligned across processes (evaluate.py:44-56), skip metrics
+            # padding batch: run the collective search with the SAME shapes
+            # as real batches (incl. the filter's over-fetch) so SPMD
+            # programs stay aligned across processes (evaluate.py:44-56)
             if not opt.use_file_passages and not opt.closed_book:
-                model.retrieve(index, params, queries, opt.n_context)
+                model.retrieve(index, params, queries, opt.n_context,
+                               batch_metadata=batch.get("metadata"),
+                               filtering_fun=task_filter)
             continue
         if opt.closed_book:
             passages = [[{"title": "", "text": ""}] for _ in queries]
@@ -68,11 +74,10 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             ret_scores = np.zeros((len(queries), len(passages[0])),
                                   np.float32)
         else:
-            filt = getattr(task, "filter", None)
             _, ret_scores, passages = model.retrieve(
                 index, params, queries, opt.n_context,
                 batch_metadata=batch.get("metadata"),
-                filtering_fun=filt if callable(filt) else None)
+                filtering_fun=task_filter)
 
         # substring recall over retrieved passages (evaluate.py:206-209)
         for i in range(len(queries)):

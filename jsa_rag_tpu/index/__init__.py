@@ -17,8 +17,10 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
     return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype)
 
 
-def load_index(path: str, mesh, method: str = "auto"):
-    """Load a saved index, dispatching on its meta ``kind`` (flat / ivf)."""
+def load_index(path: str, mesh, method: str = "auto",
+               expected_dim: int | None = None):
+    """Load a saved index, dispatching on its meta ``kind`` (flat / ivf).
+    ``expected_dim`` validates against the live retriever's hidden size."""
     import json
     import os
 
@@ -27,5 +29,12 @@ def load_index(path: str, mesh, method: str = "auto"):
     if kind == "ivf":
         from .ivf import ShardedIVFIndex
 
-        return ShardedIVFIndex.load(path, mesh)
-    return ShardedFlatIndex.load(path, mesh, method=method)
+        index = ShardedIVFIndex.load(path, mesh)
+    else:
+        index = ShardedFlatIndex.load(path, mesh, method=method)
+    if expected_dim is not None and index.dim != expected_dim:
+        raise ValueError(
+            f"loaded index dim {index.dim} != retriever hidden "
+            f"{expected_dim} — the index at {path} was built with a "
+            f"different encoder")
+    return index

@@ -123,21 +123,27 @@ class ShardedFlatIndex:
         dynamic_update_slice per shard (reference analogue:
         src/rag.py:118-121 writing ``index.embeddings[:, a:b]``).
         """
-        if self.store_f16_bits:
-            from ..ops.mips_pallas2 import f16_to_bits
-
-            block = f16_to_bits(jnp.asarray(block))
-        elif self.store_int8:
-            from ..ops.mips_pallas2 import quantize_int8
-
-            block, scale = quantize_int8(jnp.asarray(block))
+        block, scale = self.encode_block(block)
+        if scale is not None:
             self.scales = _update_rows(self.scales, scale, start,
                                        self.sharding)
-        else:
-            block = jnp.asarray(block, dtype=self.dtype)
         self.embeddings = _update_rows(
             self.embeddings, block, start, self.sharding
         )
+
+    def encode_block(self, block) -> tuple[jax.Array, jax.Array | None]:
+        """Storage transform for a float row block: -> (stored rows,
+        per-row scales or None). Single source of truth for every writer
+        (build pipeline, incremental refresh)."""
+        if self.store_f16_bits:
+            from ..ops.mips_pallas2 import f16_to_bits
+
+            return f16_to_bits(jnp.asarray(block)), None
+        if self.store_int8:
+            from ..ops.mips_pallas2 import quantize_int8
+
+            return quantize_int8(jnp.asarray(block))
+        return jnp.asarray(block, dtype=self.dtype), None
 
     # ----------------------------------------------------------------- search
     def search(self, queries: jax.Array, k: int):

@@ -61,8 +61,10 @@ class IncrementalIndexRefresher:
                 jnp.zeros_like(idx.scales), idx.sharding)
         self._cursor = 0
         if self._encode is None:
-            self._encode = jax.jit(
-                lambda p, i, m: self.model.retriever.embed_passages(p, i, m))
+            # reuse the model's cached build-encode jit (one compilation
+            # serves blocking rebuilds and incremental sweeps)
+            self._encode = self.model._jit(("build_encode",), lambda: jax.jit(
+                lambda p, i, m: self.model.retriever.embed_passages(p, i, m)))
         logger.info("incremental index refresh started (%d passages)",
                     idx.n_passages)
 
@@ -90,19 +92,10 @@ class IncrementalIndexRefresher:
                 ids = np.pad(ids, ((0, bs - (stop - start)), (0, 0)))
                 mask = np.pad(mask, ((0, bs - (stop - start)), (0, 0)))
             emb = self._encode(tower, jnp.asarray(ids), jnp.asarray(mask))
-            block = emb[: stop - start]
-            if idx.store_f16_bits:
-                from ..ops.mips_pallas2 import f16_to_bits
-
-                block = f16_to_bits(block)
-            elif idx.store_int8:
-                from ..ops.mips_pallas2 import quantize_int8
-
-                block, scale = quantize_int8(block)
+            block, scale = idx.encode_block(emb[: stop - start])
+            if scale is not None:
                 self._staging_scales = _update_rows(
                     self._staging_scales, scale, start, idx.sharding)
-            else:
-                block = block.astype(idx.dtype)
             self._staging = _update_rows(self._staging, block, start,
                                          idx.sharding)
             self._cursor = stop

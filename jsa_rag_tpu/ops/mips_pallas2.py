@@ -133,22 +133,14 @@ def mips_topk_pallas2(
 
 
 def _merge_candidates(cand_s, cand_i, k: int, b: int):
-    """Top-k of the (B, W) candidate lists. An exact ``lax.top_k`` is a full
-    sort (measured ~100x slower than the hardware partial-reduce); for wide
-    lists prefilter to 2k with ``approx_max_k`` then sort the 2k exactly —
-    losing a true top-k member requires it to fall below the approx 2k
-    cut, which is negligible at the default recall target."""
-    w = cand_s.shape[1]
-    k_eff = min(k, w)
-    if w > 4 * k_eff:
-        pre = min(2 * k_eff, w)
-        v1, a1 = jax.lax.approx_max_k(cand_s, pre)
-        i1 = jnp.take_along_axis(cand_i, a1, axis=1)
-        v, a = jax.lax.top_k(v1, k_eff)
-        ids = jnp.take_along_axis(i1, a, axis=1)
-    else:
-        v, a = jax.lax.top_k(cand_s, k_eff)
-        ids = jnp.take_along_axis(cand_i, a, axis=1)
+    """Exact top-k of the (B, W) candidate lists. An approx_max_k prefilter
+    was tried and measured within noise at 1M rows while silently breaking
+    the exact-merge contract the index layer relies on (a bin-reduction can
+    drop any element sharing a bin with a larger one), so the merge stays
+    an exact ``lax.top_k``."""
+    k_eff = min(k, cand_s.shape[1])
+    v, a = jax.lax.top_k(cand_s, k_eff)
+    ids = jnp.take_along_axis(cand_i, a, axis=1)
     return v[:b], ids[:b]
 
 

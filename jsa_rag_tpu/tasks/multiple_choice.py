@@ -83,10 +83,8 @@ class Task(BaseTask):
         """Wrap the base iterator to expand each example into its
         permutations (reference: src/tasks/multiple_choice.py:105-117)."""
         super_iterator = BaseTask.data_iterator(*args, **kwargs)
-        opt = kwargs.get("opt")
-        if opt is None:
-            perms_type = "single"
-        elif kwargs.get("is_eval", False):
+        opt = kwargs["opt"]  # loud failure like the reference (py:108-112)
+        if kwargs.get("is_eval", False):
             perms_type = opt.multiple_choice_eval_permutations
         else:
             perms_type = opt.multiple_choice_train_permutations

@@ -41,33 +41,33 @@ def _label_tree(params: dict, opt: Options) -> dict:
         elif key == "lora":
             labels[key] = fill(sub, "lm")
         elif key in ("retriever", "post_retriever"):
-            if opt.query_side_retriever_training:
-                # query-side: passage towers run under stop_gradient
-                # (models/retriever.py) — freeze them; query towers at
-                # lr_retriever per src/util.py:208-213
-                lab = {}
-                for tower, tsub in sub.items():
-                    trainable = tower in ("query", "shared") and \
-                        opt.train_retriever
-                    lab[tower] = fill(tsub, "retr" if trainable else "frozen")
-                labels[key] = lab
-            elif not opt.separate_learning_rates:
-                labels[key] = fill(sub, "lm" if opt.train_retriever
-                                   else "frozen")
-            else:
-                lab = {}
-                for tower, tsub in sub.items():
-                    if tower == "query" or tower == "shared":
-                        lab[tower] = fill(tsub, "lm")
-                    elif key == "retriever" or opt.decouple_encoder:
-                        # prior passage tower at lr_retriever; the posterior's
-                        # own passage tower (non-decoupled) is untrained in
-                        # the reference (src/util.py:199-219) — kept frozen.
-                        lab[tower] = fill(
-                            tsub, "retr" if opt.train_retriever else "frozen")
-                    else:
-                        lab[tower] = fill(tsub, "frozen")
-                labels[key] = lab
+            lab = {}
+            for tower, tsub in sub.items():
+                if not opt.train_retriever:
+                    label = "frozen"
+                elif (opt.query_side_retriever_training
+                      and tower == "passage"):
+                    # passage towers run under stop_gradient
+                    # (models/retriever.py:80-83): frozen in every mode so
+                    # AdamW decay cannot touch grad-less params
+                    label = "frozen"
+                elif not opt.separate_learning_rates:
+                    # single optimizer at opt.lr (src/util.py:201-207)
+                    label = "lm"
+                elif opt.query_side_retriever_training:
+                    # query towers at lr_retriever (src/util.py:208-213)
+                    label = "retr"
+                elif tower in ("query", "shared"):
+                    label = "lm"
+                elif key == "retriever" or opt.decouple_encoder:
+                    # prior passage tower at lr_retriever; the posterior's
+                    # own passage tower (non-decoupled) is untrained in the
+                    # reference (src/util.py:199-219) — kept frozen.
+                    label = "retr"
+                else:
+                    label = "frozen"
+                lab[tower] = fill(tsub, label)
+            labels[key] = lab
         else:
             labels[key] = fill(sub, "lm")
     return labels

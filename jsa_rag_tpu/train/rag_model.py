@@ -104,6 +104,10 @@ class RAGModel:
                 f"retrieved passage id {int(np.max(ids_matrix))} >= corpus "
                 f"size {n} — the index was built over a different corpus "
                 f"than --passages")
+        if np.min(ids_matrix) < 0:
+            raise ValueError(
+                "retrieval returned unfilled slots (id -1) — n_probe too "
+                "small for k, or k exceeds the reachable candidates")
         return [[dict(self.store[int(i)], _gid=int(i)) for i in row]
                 for row in ids_matrix]
 
@@ -197,7 +201,10 @@ class RAGModel:
         t0 = time.time()
         q_ids, q_mask = self.retriever_tokenize(queries)
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
-        fn = self._jit(("retrieve_pair", topk, index.n_passages), lambda:
+        # cache keyed on the index object: the fused fn bakes in that
+        # index's search closure and storage mode
+        fn = self._jit(("retrieve_pair", topk, id(index),
+                        getattr(index, "store_int8", False)), lambda:
                        self._make_retrieve_pair_fn(index, topk))
         scales = (index.scales if getattr(index, "store_int8", False)
                   else jnp.zeros((1, 1), jnp.float32))
