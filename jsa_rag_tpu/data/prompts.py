@@ -26,7 +26,18 @@ import dataclasses
 
 import numpy as np
 
+import re
+
 IGNORE_INDEX = -100
+
+SPEAKER_RE = re.compile(r"<speaker[12]>\s*")
+
+
+def remove_speakers(text: str) -> str:
+    """Strip dialog speaker tags from retrieval queries
+    (reference: src/rag.py remove_speakers, applied to query_to_retrieve)."""
+    return SPEAKER_RE.sub("", text)
+
 
 INSTRUCTION = ("Give a short answer to the Question based on relevant "
                "information given in Input.")

@@ -325,14 +325,19 @@ class RAGModel:
         topk = self.opt.n_context
         use_file = ((self.opt.use_file_passages or self.opt.closed_book)
                     and file_passages is not None)
+        # retrieval queries have dialog speaker tags stripped
+        # (reference: src/rag.py:688-691 query_to_retrieve)
+        from ..data.prompts import remove_speakers
+
+        queries_r = [remove_speakers(q) for q in queries]
         retr_kw = dict(iter_stats=iter_stats, batch_metadata=batch_metadata,
                        filtering_fun=filtering_fun)
         if mode == "concat":
             if use_file:
                 passages = self._supplied_passages(file_passages, topk)
             else:
-                _, _, passages = self.retrieve(index, params, queries, topk,
-                                               **retr_kw)
+                _, _, passages = self.retrieve(index, params, queries_r,
+                                               topk, **retr_kw)
             g = self._generator_rows(queries, passages, targets)
             return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
 
@@ -341,7 +346,7 @@ class RAGModel:
                 passages = self._supplied_passages(file_passages, topk)
             else:
                 ids, _, passages = self.retrieve(
-                    index, params, queries, topk, **retr_kw)
+                    index, params, queries_r, topk, **retr_kw)
             q_ids, q_mask = self.retriever_tokenize(queries)
             p_ids, p_mask = self._tokenize_passage_matrix(passages)
             g = self._generator_rows(queries, passages, targets)
@@ -352,7 +357,7 @@ class RAGModel:
                 "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
 
-        post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries, targets)]
+        post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries_r, targets)]
         if use_file:
             # supplied-passage mode (reference: use_file_passages branches,
             # src/rag.py:1630-1706, 1831): the first 2*topk supplied passages
@@ -372,13 +377,13 @@ class RAGModel:
             post_ids_np, _, post_passages = self.retrieve(
                 index, params, post_queries, topk, posterior=True, **retr_kw)
             prior_ids_np, _, prior_passages = self.retrieve(
-                index, params, queries, topk, **retr_kw)
+                index, params, queries_r, topk, **retr_kw)
             union, valid = self.build_union(post_ids_np, prior_ids_np)
             u_passages = self.passage_texts(union)
             self.last_info = {"query": queries[0], "response": targets[0]}
         else:
             prior_ids_np, post_ids_np, prior_passages, post_passages = \
-                self.retrieve_pair(index, params, queries, post_queries,
+                self.retrieve_pair(index, params, queries_r, post_queries,
                                    topk, iter_stats=iter_stats)
             union, valid = self.build_union(post_ids_np, prior_ids_np)
             u_passages = self.passage_texts(union)

@@ -317,3 +317,29 @@ def test_ivf_rejects_quantized_dtype():
 
     with pytest.raises(ValueError):
         ShardedIVFIndex(make_mesh(1, 8), 100, 16, dtype=jnp.int8)
+
+
+def test_options_cli_parsing():
+    """Flag-compatible CLI parsing: booleans, lists, schedules."""
+    opt = Options.from_args([
+        "--gold_score_mode", "jsa", "--use_all_mis", "false",
+        "--train_data", "a.jsonl", "b.jsonl",
+        "--refresh_index", "0-100:10,100-1000:500",
+        "--use_lora", "true", "--mis_step", "25",
+        "--closed_book", "true",
+    ])
+    assert opt.gold_score_mode == "jsa"
+    assert opt.use_all_mis is False
+    assert opt.use_lora is True
+    assert opt.train_data == ["a.jsonl", "b.jsonl"]
+    assert opt.mis_step == 25
+    # post-parse normalization (closed_book forces n_context 1)
+    assert opt.n_context == 1 and opt.retriever_n_context == 1
+    assert opt.scheduler_steps == opt.total_steps
+
+
+def test_remove_speakers():
+    from jsa_rag_tpu.data.prompts import remove_speakers
+
+    assert remove_speakers("<speaker1> hi <speaker2> there") == "hi there"
+    assert remove_speakers("plain question") == "plain question"
