@@ -10,6 +10,7 @@ python train.py \
   --name "${NAME}" \
   --checkpoint_dir ./checkpoint \
   --task qa \
+  --qa_prompt_format "{question}" \
   --gold_score_mode jsa \
   --gen_method fast_deocde1 \
   --train_data "${DATA}/triviaqa/train.jsonl" \
