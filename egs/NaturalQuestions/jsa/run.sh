@@ -30,10 +30,13 @@ python train.py \
   --mis_step 50 \
   --use_all_mis true \
   --unil_postandprior true \
-  --temperature_jsa 1.0 --temperature_lm 1.0 \
+  --temperature_gold 1 --temperature_score 1 \
+  --temperature_jsa 0.1 --temperature_lm 1.0 \
+  --gen_doc_scores 0.001 \
   --text_maxlength 512 --target_maxlength 256 \
   --lr 2e-5 --lr_retriever 1e-5 --separate_learning_rates true \
-  --scheduler cosine --warmup_steps 20 \
+  --warmup_steps 1000 \
+  --scheduler cosine \
   --total_steps 20000 \
   --refresh_index 0-40000:40000 \
   --per_gpu_embedder_batch_size 256 \

@@ -24,7 +24,7 @@ class Options:
     train_data: list[str] = dataclasses.field(default_factory=list)
     eval_data: list[str] = dataclasses.field(default_factory=list)
     per_gpu_batch_size: int = 1
-    per_gpu_embedder_batch_size: int = 512
+    per_gpu_embedder_batch_size: int = 128
     log_freq: int = 100
     log_detail_num: int = 0  # dump training_info_step{N}.json for first N
     eval_freq: int = 500
@@ -33,13 +33,15 @@ class Options:
     target_maxlength: int = 256
     text_maxlength: int = 512
 
-    # ----- optim (src/options.py:121-205)
-    warmup_steps: int = 20
+    # ----- optim (src/options.py:121-205) — defaults mirror the
+    # reference argparse defaults; experiment scripts override like the
+    # flagship (egs/)
+    warmup_steps: int = 1000
     total_steps: int = 1000
     scheduler_steps: int | None = None
     accumulation_steps: int = 1
     dropout: float = 0.1
-    lr: float = 2e-5
+    lr: float = 1e-4
     lr_retriever: float = 1e-5
     clip: float = 1.0
     scheduler: str = "cosine"  # linear | cosine | fixed
@@ -71,8 +73,8 @@ class Options:
     retriever_format: str = "{title} {text}"
     gold_score_mode: str = "jsa"  # rag | vrag | jsa | ppmean ...
     gen_method: str = "fast_deocde1"  # concat | fast_deocde1 | fast_deocde2
-    temperature_score: float = 1.0
-    temperature_gold: float = 1.0
+    temperature_score: float = 0.01
+    temperature_gold: float = 0.01
     use_gradient_checkpoint_retriever: bool = False
     use_gradient_checkpoint_generator: bool = False
     retrieve_with_rerank: bool = False
@@ -87,7 +89,7 @@ class Options:
     qa_prompt_format: str = "question: {question} answer: <extra_id_0>"
 
     # ----- JSA (src/options.py:452-552)
-    mis_step: int = 50
+    mis_step: int = 1
     mis_topk: int = 0
     use_all_mis: bool = True
     temperature_jsa: float = 1.0
@@ -97,7 +99,7 @@ class Options:
     simplify_JSA: bool = False
     reduce_norm: bool = False
     contrastive_learning: bool = False
-    training_sample_num: int = 8
+    training_sample_num: int = 1
     standard_mc: bool = False
     union_kl: bool = True
     kl_beta: float = 1.0
@@ -126,8 +128,8 @@ class Options:
     generation_max_length: int = 256
     generation_min_length: int | None = None
     generation_num_beams: int = 1
-    generation_length_penalty: float = 1.0
-    gen_doc_scores: float = 1.0
+    generation_length_penalty: float = 1.1
+    gen_doc_scores: float = 0.01
     task: str = "qa"
     write_results: bool = False
 
