@@ -137,6 +137,9 @@ class Options:
     mesh_data: int = 1
     mesh_index: int = 0  # 0 -> all remaining devices
     eps: float = 1e-30  # numerical floor, reference's self.eps
+    # capture a jax.profiler trace for steps [start, stop) into the run dir
+    # (replaces the reference's wall-clock-only timers, SURVEY.md §5.1)
+    profile_steps: str = ""  # e.g. "10-12"
 
     def __post_init__(self):
         # post-parse normalization mirroring src/options.py:616-633

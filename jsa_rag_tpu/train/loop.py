@@ -78,6 +78,26 @@ def train(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
+    profile_span = None
+    if opt.profile_steps:
+        a, b_ = opt.profile_steps.split("-")
+        profile_span = (int(a), int(b_))
+
+    # preemption safety (reference: SLURM SIGUSR1 requeue, src/slurm.py:22-46;
+    # here: checkpoint-and-exit so resume-from-latest continues the run)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+        signal.signal(signal.SIGUSR1, _on_term)
+    except ValueError:
+        pass  # not the main thread (e.g. tests)
+
     rng = jax.random.PRNGKey(opt.seed + jax.process_index())
     epoch = 0
     while step < opt.total_steps:
@@ -92,6 +112,15 @@ def train(
             iter_stats: dict = {}
             step += 1
             t_step = time.time()
+
+            if profile_span is not None:
+                if step == profile_span[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(checkpoint_path, "profile"))
+                elif step == profile_span[1]:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s/profile",
+                                checkpoint_path)
 
             if (not opt.use_file_passages and
                     refresh.is_time_to_refresh(step)):
@@ -188,6 +217,20 @@ def train(
                                 retriever_tokenizer=model.retriever_tokenizer)
                 export_retriever(checkpoint_path, step, params["retriever"],
                                  tokenizer=model.retriever_tokenizer)
+
+            if stop_requested["flag"]:
+                # preemption: checkpoint and exit cleanly; a restart with
+                # --model_path <run dir> resumes from here
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        opt.checkpoint_dir, opt.name, step, params,
+                        opt_state if opt.save_optimizer else None,
+                        options=opt, tokenizer=model.generator_tokenizer,
+                        retriever_tokenizer=model.retriever_tokenizer)
+                    logger.info("preemption checkpoint saved at step %d",
+                                step)
+                metrics_log.close()
+                return params, opt_state, step
 
             if step >= opt.total_steps:
                 break
