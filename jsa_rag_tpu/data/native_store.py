@@ -14,7 +14,9 @@ _lib = None
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                     "passage_store.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "_libpassage_store.so")
+# built OUTSIDE the python package: a ctypes .so inside a package directory
+# looks like a (broken) CPython extension module to import scanners
+_SO = os.path.join(os.path.dirname(_SRC), "_build", "libpassage_store.so")
 
 
 def _load():
@@ -23,6 +25,7 @@ def _load():
         if _lib is not None:
             return _lib
         src = os.path.abspath(_SRC)
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(src)):
             subprocess.run(
