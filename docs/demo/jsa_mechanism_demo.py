@@ -16,6 +16,12 @@ Setup (copy-task corpus, scripts/make_copy_task_data.py):
   -(probs * log_prior) term pulls the prior query tower toward them.
 
 Measured: prior top-4 gold recall over the 26k corpus, before vs after.
+
+RESULT (recorded in docs/BENCHMARKS.md): the chain mixes and the loss
+falls, but global recall stays 0.00 — union-local CE cannot bootstrap a
+random embedding geometry into a global ANN structure. Joint training
+fine-tunes pretrained retrievers (the reference inits from bge); it does
+not replace contrastive pretraining.
 """
 
 import sys
