@@ -16,5 +16,7 @@ python evaluate.py \
   --gen_method fast_deocde1 \
   --n_context 10 \
   --generation_max_length 256 \
+  --generation_num_beams 4 \
+  --generation_length_penalty 1.1 \
   --precision bf16 \
   --write_results true

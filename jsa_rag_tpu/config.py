@@ -126,9 +126,14 @@ class Options:
     multiple_choice_eval_permutations: str = "single"
 
     generation_max_length: int = 256
+    # counts NEW tokens (HF min_new_tokens); the reference's min_length
+    # counts prompt+generation, ill-defined under left padding
     generation_min_length: int | None = None
     generation_num_beams: int = 1
     generation_length_penalty: float = 1.1
+    # forces each row to decode this formatted query prefix first
+    # (reference prefix_allowed_tokens_fn, src/rag.py:2244-2274)
+    decoder_prompt_format: str | None = None
     gen_doc_scores: float = 0.01
     task: str = "qa"
     write_results: bool = False
@@ -180,7 +185,8 @@ class Options:
             v = getattr(ns, f.name)
             if f.name in ("scheduler_steps", "generation_min_length",
                           "load_index_path", "save_index_path",
-                          "retriever_pooling") and v in ("none", "None", ""):
+                          "retriever_pooling", "decoder_prompt_format") \
+                    and v in ("none", "None", ""):
                 v = None
             if f.name in ("scheduler_steps", "generation_min_length") and \
                     isinstance(v, str):

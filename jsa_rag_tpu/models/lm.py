@@ -369,14 +369,30 @@ def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
     return _unembed(params, cfg, x), new_cache
 
 
+def _apply_forced_prefix(choice, t, forced_prefix, forced_len):
+    """Force ``choice[b] = forced_prefix[b, t]`` while ``t < forced_len[b]``.
+
+    TPU-native equivalent of the reference's ``prefix_allowed_tokens_fn``
+    (``decoder_prompt_format``, src/rag.py:2244-2274): the decoder is
+    constrained to emit a per-example prompt prefix before free decoding.
+    """
+    in_prefix = t < forced_len
+    forced_t = forced_prefix[:, jnp.minimum(t, forced_prefix.shape[1] - 1)]
+    return jnp.where(in_prefix, forced_t, choice)
+
+
 def greedy_generate(params: Params, cfg: LMConfig, input_ids,
                     attention_mask, *, max_new_tokens: int,
-                    eos_id: int, pad_id: int) -> jax.Array:
+                    eos_id: int, pad_id: int,
+                    forced_prefix=None, forced_len=None) -> jax.Array:
     """Greedy decode with preallocated KV cache.
 
     ``input_ids`` must be LEFT-padded (reference: tokenize_casual4gen pads
     left so the last position is the prompt end, src/rag.py:625-629).
     Returns (B, max_new_tokens) generated ids, ``pad_id`` after EOS.
+    ``forced_prefix``/``forced_len``: optional (B, P) int32 + (B,) int32
+    decoder-prompt constraint (reference decoder_prompt_format,
+    src/rag.py:2244-2274).
     """
     b, prompt_len = input_ids.shape
     total = prompt_len + max_new_tokens
@@ -392,6 +408,9 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
     )
     last_logits = logits[:, -1]  # left-padded: last position is prompt end
     next_tok = jnp.argmax(last_logits, axis=-1)
+    if forced_prefix is not None:
+        next_tok = _apply_forced_prefix(next_tok, 0, forced_prefix,
+                                        forced_len)
     next_pos = positions[:, -1] + 1
     done = next_tok == eos_id
 
@@ -403,6 +422,9 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
             cache_len=prompt_len + t, total_len=total,
         )
         new_tok = jnp.argmax(logits[:, -1], axis=-1)
+        if forced_prefix is not None:
+            new_tok = _apply_forced_prefix(new_tok, t + 1, forced_prefix,
+                                           forced_len)
         new_tok = jnp.where(done, pad_id, new_tok)
         new_done = done | (new_tok == eos_id)
         # emit the carried token (tokens generated after EOS are already pad)
@@ -414,3 +436,147 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
         jnp.arange(max_new_tokens),
     )
     return toks.T  # (B, max_new_tokens)
+
+
+def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
+                  *, max_new_tokens: int, eos_id: int, pad_id: int,
+                  num_beams: int, length_penalty: float = 1.0,
+                  min_new_tokens: int = 0,
+                  forced_prefix=None, forced_len=None) -> jax.Array:
+    """Beam-search decode (HF-parity semantics) as one ``lax.scan``.
+
+    Replicates transformers' vectorized ``_beam_search`` with
+    ``do_sample=False, early_stopping=False`` — the settings the reference
+    uses live (``generator.generate(num_beams=..., min_length=...,
+    length_penalty=...)``, src/rag.py:2247-2258, evaluate.py:245-256):
+
+    - 2*num_beams candidates are retained per step so at least ``num_beams``
+      non-EOS continuations survive;
+    - candidates whose next token is EOS (or that hit max length) move to the
+      finished set with score ``sum_logprob / n_generated**length_penalty``
+      — but only from the top ``num_beams`` candidate ranks;
+    - the running-beam scores carry the -1e9 finished-mask exactly as HF
+      does, and the finished set is frozen per batch row once HF's
+      early-stopping heuristic (best attainable running score at the
+      *current* length vs the worst finished score) is satisfied;
+    - ``min_new_tokens`` pins the EOS log-prob to -inf for the first steps
+      (HF ``MinNewTokensLengthLogitsProcessor``; the reference's
+      ``generation_min_length`` counts prompt+generation, which is
+      ill-defined under left padding, so the new-token count is used).
+
+    Everything is static-shape: the scan always runs ``max_new_tokens``
+    steps, with per-batch-row masking standing in for HF's early loop exit
+    (a frozen finished set makes the extra steps no-ops).
+
+    ``input_ids`` must be LEFT-padded. Returns (B, max_new_tokens) ids of
+    each batch row's best finished hypothesis (EOS included, pad after).
+    """
+    b, prompt_len = input_ids.shape
+    k = num_beams
+    k2 = 2 * k
+    t_max = max_new_tokens
+    total = prompt_len + t_max
+    neg = jnp.float32(-1.0e9)
+
+    # ---- prefill on (B,) rows; all beams share the prompt
+    cache = init_cache(cfg, b, total)
+    positions = positions_from_mask(attention_mask)
+    full_mask = jnp.concatenate(
+        [attention_mask,
+         jnp.zeros((b, t_max), attention_mask.dtype)], axis=1)
+    logits, cache = _forward_with_cache(
+        params, cfg, input_ids, full_mask, positions, cache,
+        cache_len=0, total_len=total,
+    )
+    vocab = logits.shape[-1]
+    first_logits = jnp.broadcast_to(
+        logits[:, -1][:, None], (b, k, vocab))            # (B, K, V)
+    cache = [(jnp.repeat(ck, k, axis=0), jnp.repeat(cv, k, axis=0))
+             for ck, cv in cache]                          # (B*K, ...)
+    prompt_next_pos = positions[:, -1] + 1                 # (B,)
+
+    run_scores = jnp.full((b, k), neg).at[:, 0].set(0.0)   # beam 0 only
+    seqs = jnp.full((b, k, t_max), pad_id, jnp.int32)
+    fin_seqs = jnp.full((b, k, t_max), pad_id, jnp.int32)
+    fin_scores = jnp.full((b, k), neg)
+    is_fin = jnp.zeros((b, k), bool)
+    unsat = jnp.ones((b,), bool)  # early-stop heuristic not yet satisfied
+    top_mask = jnp.arange(k2) < k  # only top-K candidate ranks can finish
+
+    def step(carry, t):
+        logits, run_scores, seqs, fin_seqs, fin_scores, is_fin, unsat, \
+            cache, mask = carry
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if min_new_tokens:
+            logp = jnp.where(
+                (t < min_new_tokens)
+                & (jnp.arange(vocab) == eos_id)[None, None], -jnp.inf, logp)
+        if forced_prefix is not None:
+            in_prefix = (t < forced_len)[:, None, None]  # (B,1,1)
+            forced_t = forced_prefix[
+                :, jnp.minimum(t, forced_prefix.shape[1] - 1)]
+            allow = (jnp.arange(vocab)[None, None]
+                     == forced_t[:, None, None])
+            logp = jnp.where(in_prefix & ~allow, -jnp.inf, logp)
+
+        acc = (run_scores[:, :, None] + logp).reshape(b, k * vocab)
+        cand_scores, cand_idx = jax.lax.top_k(acc, k2)     # (B, 2K) desc
+        beam_src = cand_idx // vocab
+        tok = (cand_idx % vocab).astype(jnp.int32)
+        cand_seqs = jnp.take_along_axis(
+            seqs, beam_src[:, :, None], axis=1)            # (B, 2K, T)
+        cand_seqs = jax.lax.dynamic_update_index_in_dim(
+            cand_seqs.transpose(2, 0, 1), tok, t, axis=0
+        ).transpose(1, 2, 0)
+        hits = (tok == eos_id) | (t == t_max - 1)          # stopping criteria
+
+        # running beams for the next iteration (HF keeps the masked score)
+        run_masked = cand_scores + hits.astype(jnp.float32) * neg
+        new_run_scores, sel = jax.lax.top_k(run_masked, k)  # (B, K)
+        new_seqs = jnp.take_along_axis(cand_seqs, sel[:, :, None], axis=1)
+        sel_beam_src = jnp.take_along_axis(beam_src, sel, axis=1)
+        sel_tok = jnp.take_along_axis(tok, sel, axis=1)
+
+        # finished-set update
+        norm = cand_scores / jnp.float32(t + 1) ** length_penalty
+        did_finish = hits & top_mask[None, :]
+        gated = jnp.where(did_finish & unsat[:, None], norm, neg)
+        merged_scores = jnp.concatenate([fin_scores, gated], axis=1)
+        merged_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        merged_fin = jnp.concatenate([is_fin, did_finish], axis=1)
+        new_fin_scores, fsel = jax.lax.top_k(merged_scores, k)
+        new_fin_seqs = jnp.take_along_axis(
+            merged_seqs, fsel[:, :, None], axis=1)
+        new_is_fin = jnp.take_along_axis(merged_fin, fsel, axis=1)
+
+        # reorder the KV cache to the selected running beams
+        flat_src = (jnp.arange(b)[:, None] * k + sel_beam_src).reshape(-1)
+        new_cache = [(jnp.take(ck, flat_src, axis=0),
+                      jnp.take(cv, flat_src, axis=0)) for ck, cv in cache]
+
+        # decode the selected tokens (produces logits for step t+1; the
+        # final iteration's forward is dead work, the price of a uniform scan)
+        mask = mask.at[:, prompt_len + t].set(1)
+        mask_bk = jnp.repeat(mask, k, axis=0)
+        pos_bk = jnp.repeat(prompt_next_pos + t, k)[:, None]
+        step_logits, new_cache = _forward_with_cache(
+            params, cfg, sel_tok.reshape(b * k, 1), mask_bk, pos_bk,
+            new_cache, cache_len=prompt_len + t, total_len=total,
+        )
+        new_logits = step_logits[:, -1].reshape(b, k, vocab)
+
+        # HF early-stop heuristic at the incremented length
+        best_possible = new_run_scores[:, :1] / (
+            jnp.float32(t + 1) ** length_penalty)
+        worst_fin = jnp.where(
+            new_is_fin, jnp.min(new_fin_scores, axis=1, keepdims=True), neg)
+        new_unsat = unsat & jnp.any(best_possible > worst_fin, axis=1)
+
+        return (new_logits, new_run_scores, new_seqs, new_fin_seqs,
+                new_fin_scores, new_is_fin, new_unsat, new_cache, mask), None
+
+    carry = (first_logits, run_scores, seqs, fin_seqs, fin_scores, is_fin,
+             unsat, cache, full_mask)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(t_max))
+    fin_seqs = carry[3]
+    return fin_seqs[:, 0]  # scores kept sorted desc; beam 0 is the best

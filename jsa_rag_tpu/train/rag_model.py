@@ -33,7 +33,8 @@ from ..data.passages import PassageStore, format_passage
 from ..data.prompts import PromptConfig, build_training_batch, \
     build_generation_batch
 from ..index.build import build_index as _build_index
-from ..models.lm import LMConfig, greedy_generate, lm_sequence_logprob
+from ..models.lm import (LMConfig, beam_generate, greedy_generate,
+                         lm_sequence_logprob)
 from ..models.lora import LoRAConfig
 from ..models.retriever import DualEncoderRetriever
 from .modes import MODE_LOSSES, ApplyFns
@@ -458,17 +459,55 @@ class RAGModel:
 
     # -------------------------------------------------------------- generation
     def generate(self, params, queries, passages, *, max_new_tokens=None):
-        """Greedy decode on (left-padded) prompts; (B or B*K, L_new) ids."""
+        """Decode on (left-padded) prompts; (B or B*K, L_new) ids.
+
+        Greedy when ``generation_num_beams == 1``, else HF-parity beam
+        search with ``generation_min_length``/``generation_length_penalty``
+        (reference: src/rag.py:2247-2258). ``decoder_prompt_format``
+        constrains each row to emit its formatted query prefix first
+        (prefix_allowed_tokens_fn, src/rag.py:2244-2274).
+        """
         gids, gmask = build_generation_batch(
             self.generator_tokenizer, queries, passages, self.prompt_cfg)
         gen_params = self.fns.gen_params(params)
-        out = greedy_generate(
-            gen_params, self.gen_cfg, jnp.asarray(gids), jnp.asarray(gmask),
+        kw = dict(
             max_new_tokens=max_new_tokens or self.opt.generation_max_length,
             eos_id=self.generator_tokenizer.eos_id,
             pad_id=self.generator_tokenizer.pad_id,
         )
+        if self.opt.decoder_prompt_format:
+            kw["forced_prefix"], kw["forced_len"] = self._forced_prefix(
+                queries, n_rows=gids.shape[0])
+        beams = self.opt.generation_num_beams
+        if beams > 1:
+            out = beam_generate(
+                gen_params, self.gen_cfg, jnp.asarray(gids),
+                jnp.asarray(gmask), num_beams=beams,
+                length_penalty=self.opt.generation_length_penalty,
+                min_new_tokens=self.opt.generation_min_length or 0, **kw)
+        else:
+            out = greedy_generate(
+                gen_params, self.gen_cfg, jnp.asarray(gids),
+                jnp.asarray(gmask), **kw)
         return np.asarray(out)
+
+    def _forced_prefix(self, queries, n_rows):
+        """(rows, P) forced decoder-prompt ids + per-row lengths, one row
+        per generation-batch row (query-major, matching build rows)."""
+        fmt = self.opt.decoder_prompt_format
+        per_q = [self.generator_tokenizer.encode_batch(
+            [fmt.format_map({"query": q})],
+            self.opt.target_maxlength, add_special=False)[0][0]
+            for q in queries]
+        rep = n_rows // len(queries)
+        rows = [list(ids) for ids in per_q for _ in range(rep)]
+        plen = max(1, max(len(r) for r in rows))
+        prefix = np.zeros((n_rows, plen), np.int32)
+        lens = np.zeros((n_rows,), np.int32)
+        for i, r in enumerate(rows):
+            prefix[i, :len(r)] = r
+            lens[i] = len(r)
+        return jnp.asarray(prefix), jnp.asarray(lens)
 
     def method_generate(self, params, queries, passages, ret_scores,
                         *, max_new_tokens=None):

@@ -295,6 +295,83 @@ def test_greedy_generate_matches_hf():
     np.testing.assert_array_equal(got, hf_out)
 
 
+def test_beam_generate_matches_hf():
+    """Beam-search parity vs transformers generate(num_beams=4,
+    length_penalty=1.1, min_new_tokens) on a tiny Mistral — the reference's
+    live generation settings (src/rag.py:2247-2258)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MistralConfig, MistralForCausalLM
+    from jsa_rag_tpu.models.hf_import import import_causal_lm, lm_config_from_hf
+    from jsa_rag_tpu.models.lm import beam_generate
+
+    hf_cfg = MistralConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2,
+    )
+    torch.manual_seed(5)
+    hf = MistralForCausalLM(hf_cfg).eval()
+    cfg = lm_config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = import_causal_lm(hf.state_dict(), cfg.layers)
+
+    rng = np.random.default_rng(11)
+    b, plen, new = 3, 8, 8
+    ids = np.full((b, plen), 0, np.int64)
+    mask = np.zeros((b, plen), np.int64)
+    for i, ln in enumerate([8, 5, 3]):
+        ids[i, plen - ln:] = rng.integers(3, 64, ln)
+        mask[i, plen - ln:] = 1
+
+    for lp, minnew in [(1.1, 0), (1.1, 3), (0.0, 0), (2.0, 2)]:
+        with torch.no_grad():
+            hf_out = hf.generate(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                max_new_tokens=new, min_new_tokens=minnew or None,
+                do_sample=False, num_beams=4, length_penalty=lp,
+                early_stopping=False, pad_token_id=0, eos_token_id=1,
+            )[:, plen:].numpy()
+        got = np.asarray(beam_generate(
+            params, cfg, jnp.array(ids, jnp.int32),
+            jnp.array(mask, jnp.int32), max_new_tokens=new, eos_id=1,
+            pad_id=0, num_beams=4, length_penalty=lp, min_new_tokens=minnew))
+        hf_len = hf_out.shape[1]
+        np.testing.assert_array_equal(
+            got[:, :hf_len], hf_out,
+            err_msg=f"length_penalty={lp} min_new_tokens={minnew}")
+        assert (got[:, hf_len:] == 0).all(), (lp, minnew)
+
+
+def test_beam_forced_prefix():
+    """Prefix-constrained decoding: the forced decoder prompt must appear
+    verbatim before free decoding (reference decoder_prompt_format,
+    src/rag.py:2244-2274)."""
+    from jsa_rag_tpu.models.lm import beam_generate, lm_init, LMConfig
+
+    cfg = LMConfig(vocab_size=50, hidden=16, layers=1, heads=2, kv_heads=2,
+                   intermediate=32, dtype=jnp.float32)
+    params = lm_init(jax.random.PRNGKey(3), cfg)
+    ids = jnp.array(np.random.default_rng(0).integers(3, 50, (2, 5)),
+                    jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    prefix = jnp.array([[7, 8, 9], [11, 12, 0]], jnp.int32)
+    plen = jnp.array([3, 2], jnp.int32)
+    out = np.asarray(beam_generate(
+        params, cfg, ids, mask, max_new_tokens=6, eos_id=1, pad_id=0,
+        num_beams=2, forced_prefix=prefix, forced_len=plen))
+    assert list(out[0, :3]) == [7, 8, 9]
+    assert list(out[1, :2]) == [11, 12]
+
+    from jsa_rag_tpu.models.lm import greedy_generate
+    out_g = np.asarray(greedy_generate(
+        params, cfg, ids, mask, max_new_tokens=6, eos_id=1, pad_id=0,
+        forced_prefix=prefix, forced_len=plen))
+    assert list(out_g[0, :3]) == [7, 8, 9]
+    assert list(out_g[1, :2]) == [11, 12]
+
+
 def test_gpt2_parity_and_generate():
     """GPT2 family: logits parity vs transformers GPT2LMHeadModel and
     cache-decode self-consistency."""

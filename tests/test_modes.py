@@ -149,6 +149,35 @@ def test_method_generate_shapes(setup):
     assert all_gen.shape == (2, model.opt.n_context, 4)
 
 
+def test_generate_beam_path(setup):
+    """RAGModel.generate dispatches to beam search when
+    generation_num_beams > 1, honoring decoder_prompt_format."""
+    model, index, params = setup
+    _, scores, passages = model.retrieve(index, params, QUERIES,
+                                         model.opt.n_context)
+    model.opt.generation_num_beams = 3
+    model.opt.generation_length_penalty = 1.1
+    model.opt.generation_min_length = 2
+    try:
+        out = model.generate(params, QUERIES, passages, max_new_tokens=5)
+        assert out.shape == (2 * model.opt.n_context, 5)
+        # min_new_tokens=2: no row may end (eos/pad only) at position 0
+        eos, pad = model.generator_tokenizer.eos_id, \
+            model.generator_tokenizer.pad_id
+        assert not np.isin(out[:, 0], [eos, pad]).any()
+
+        model.opt.decoder_prompt_format = "w9 {query}"
+        forced = model.generator_tokenizer.encode_batch(
+            ["w9 " + QUERIES[0]], 16, add_special=False)[0][0]
+        out2 = model.generate(params, QUERIES, passages, max_new_tokens=5)
+        np.testing.assert_array_equal(out2[0, :len(forced[:5])],
+                                      forced[:5])
+    finally:
+        model.opt.generation_num_beams = 1
+        model.opt.generation_min_length = None
+        model.opt.decoder_prompt_format = None
+
+
 def test_retrieve_with_rerank(setup):
     model, index, params = setup
     model.opt.retrieve_with_rerank = True
