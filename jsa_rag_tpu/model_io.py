@@ -10,6 +10,7 @@ with ``latest`` symlink semantics.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 
@@ -129,6 +130,10 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
             remat=opt.use_gradient_checkpoint_retriever, **preset)
         tower = None
 
+    # train-time dropout rate on both towers (reference: opt.dropout applied
+    # to every torch Dropout, src/util.py:164-167); eval forwards never pass
+    # an rng so they stay deterministic
+    bert_cfg = dataclasses.replace(bert_cfg, dropout=opt.dropout)
     ret_cfg = RetrieverConfig(
         bert=bert_cfg, tied=False,
         query_side_only=opt.query_side_retriever_training)
@@ -155,6 +160,7 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
         rng, sub = jax.random.split(rng)
         gen_params = lm_init(sub, gen_cfg)
 
+    gen_cfg = dataclasses.replace(gen_cfg, dropout=opt.dropout)
     params: dict = {"generator": gen_params, "retriever": prior}
     needs_posterior = (opt.gold_score_mode in ("vrag", "jsa")
                        and not opt.simplify_JSA)

@@ -38,6 +38,10 @@ class BertConfig:
     pooling: str = "mean"  # cls | cls_norm | mean | mean_norm | sqrt
     dtype: Any = jnp.float32  # activation dtype (bf16 on TPU)
     remat: bool = False  # per-layer activation recomputation
+    # train-time dropout rate (reference: opt.dropout applied to every torch
+    # Dropout module, src/options.py:134 + src/util.py:164-167); active only
+    # when a dropout rng is passed to the forward — eval stays deterministic
+    dropout: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -89,6 +93,14 @@ def bert_init(rng: jax.Array, cfg: BertConfig) -> Params:
     return p
 
 
+def dropout(x, rate: float, rng):
+    """Inverted dropout; identity when ``rng is None`` or ``rate == 0``."""
+    if rng is None or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
 def _layer_norm(x, scale, bias, eps):
     # LayerNorm in f32 regardless of activation dtype (numerics).
     xf = x.astype(jnp.float32)
@@ -98,7 +110,7 @@ def _layer_norm(x, scale, bias, eps):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _attention(layer: Params, cfg: BertConfig, x, bias):
+def _attention(layer: Params, cfg: BertConfig, x, bias, rng=None):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
 
@@ -115,6 +127,7 @@ def _attention(layer: Params, cfg: BertConfig, x, bias):
     ) / math.sqrt(hd)
     logits = logits + bias  # (B, 1, 1, S) additive mask
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = dropout(probs, cfg.dropout, rng)  # attention-probs dropout
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
     return ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
 
@@ -130,9 +143,14 @@ def _ffn(layer: Params, x):
 
 
 def bert_hidden(
-    params: Params, cfg: BertConfig, input_ids, attention_mask
+    params: Params, cfg: BertConfig, input_ids, attention_mask, rng=None
 ) -> jax.Array:
-    """Full sequence of last-layer hidden states, (B, S, H)."""
+    """Full sequence of last-layer hidden states, (B, S, H).
+
+    ``rng`` enables train-time dropout (HF BERT placement: embeddings,
+    attention probs, post-attention projection, post-FFN); ``rng=None``
+    (eval) is fully deterministic.
+    """
     b, s = input_ids.shape
     emb = params["embed"]
     pos = jnp.arange(s)[None, :]
@@ -146,13 +164,19 @@ def bert_hidden(
     bias = jnp.where(
         attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
     ).astype(jnp.float32)
+    rngs = (
+        [None] * (1 + 3 * cfg.layers) if rng is None or cfg.dropout == 0.0
+        else list(jax.random.split(rng, 1 + 3 * cfg.layers))
+    )
+    x = dropout(x, cfg.dropout, rngs[0])
 
-    def block(layer, x):
-        a = _attention(layer, cfg, x, bias)
+    def block(layer, x, r_attn, r_post, r_ffn):
+        a = _attention(layer, cfg, x, bias, r_attn)
+        a = dropout(a, cfg.dropout, r_post)
         x = _layer_norm(
             x + a, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.ln_eps
         )
-        f = _ffn(layer, x)
+        f = dropout(_ffn(layer, x), cfg.dropout, r_ffn)
         return _layer_norm(
             x + f, layer["ffn_ln_scale"], layer["ffn_ln_bias"], cfg.ln_eps
         )
@@ -161,8 +185,9 @@ def bert_hidden(
         # per-layer activation recomputation (reference toggles HF gradient
         # checkpointing around forward calls, src/rag.py:1336-1345)
         block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(layer, x)
+    for i, layer in enumerate(params["layers"]):
+        x = block(layer, x, rngs[1 + 3 * i], rngs[2 + 3 * i],
+                  rngs[3 + 3 * i])
     return x
 
 
@@ -190,8 +215,8 @@ def pool(hidden: jax.Array, attention_mask, pooling: str) -> jax.Array:
 
 
 def bert_encode(
-    params: Params, cfg: BertConfig, input_ids, attention_mask
+    params: Params, cfg: BertConfig, input_ids, attention_mask, rng=None
 ) -> jax.Array:
     """(B, S) token ids -> (B, H) pooled embeddings."""
-    hidden = bert_hidden(params, cfg, input_ids, attention_mask)
+    hidden = bert_hidden(params, cfg, input_ids, attention_mask, rng)
     return pool(hidden, attention_mask, cfg.pooling)

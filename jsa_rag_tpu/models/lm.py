@@ -50,6 +50,11 @@ class LMConfig:
     # (src/model_io.py:123-127)
     arch: str = "llama"
     max_positions: int = 1024  # gpt2 learned position table size
+    # train-time dropout (reference: opt.dropout via src/util.py:164-167);
+    # llama/mistral: attention-probs only (HF attention_dropout); gpt2:
+    # embeddings + attention + residual. Active only when the training
+    # forward receives a dropout rng — decode/eval stay deterministic.
+    dropout: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -147,8 +152,15 @@ def positions_from_mask(attention_mask) -> jax.Array:
     return jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
 
+def _dropout(x, rate: float, rng):
+    if rng is None or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
 def _attention(layer, cfg: LMConfig, x, positions, bias, cache=None,
-               cache_len=None):
+               cache_len=None, rng=None):
     b, s, _ = x.shape
     nh, nkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
     q = (x @ layer["q_w"].astype(x.dtype)).reshape(b, s, nh, hd)
@@ -175,6 +187,7 @@ def _attention(layer, cfg: LMConfig, x, positions, bias, cache=None,
     ) / jnp.sqrt(jnp.float32(hd))
     logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = _dropout(probs, cfg.dropout, rng)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, nh * hd)
     out = ctx @ layer["o_w"].astype(x.dtype)
     return out, new_cache
@@ -187,7 +200,7 @@ def _mlp(layer, x):
 
 
 def _gpt2_attention(layer, cfg: LMConfig, x, bias, cache=None,
-                    cache_len=None):
+                    cache_len=None, rng=None):
     """GPT2 attention: fused qkv with biases, no rotary, full MHA."""
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
@@ -208,22 +221,24 @@ def _gpt2_attention(layer, cfg: LMConfig, x, bias, cache=None,
         "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(hd))
     probs = jax.nn.softmax(logits + bias, axis=-1).astype(x.dtype)
+    probs = _dropout(probs, cfg.dropout, rng)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, h)
     out = ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
     return out, new_cache
 
 
-def _gpt2_block(layer, cfg: LMConfig, x, bias, cache=None, cache_len=None):
+def _gpt2_block(layer, cfg: LMConfig, x, bias, cache=None, cache_len=None,
+                rngs=(None, None, None)):
     a, new_cache = _gpt2_attention(
         layer, cfg, _layer_norm(x, layer["ln1_s"], layer["ln1_b"]),
-        bias, cache, cache_len)
-    x = x + a
+        bias, cache, cache_len, rng=rngs[0])
+    x = x + _dropout(a, cfg.dropout, rngs[1])  # resid_pdrop
     hmid = _layer_norm(x, layer["ln2_s"], layer["ln2_b"])
     hmid = jax.nn.gelu(
         hmid @ layer["fc_w"].astype(x.dtype) + layer["fc_b"].astype(x.dtype),
         approximate=True) @ layer["proj_w"].astype(x.dtype) \
         + layer["proj_b"].astype(x.dtype)
-    return x + hmid, new_cache
+    return x + _dropout(hmid, cfg.dropout, rngs[2]), new_cache
 
 
 def _embed_in(params, cfg: LMConfig, input_ids, positions):
@@ -250,8 +265,10 @@ def _unembed(params, cfg: LMConfig, x):
 
 
 def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
-              positions=None) -> jax.Array:
-    """(B, S) -> (B, S, V) f32 logits. Causal + padding mask."""
+              positions=None, rng=None) -> jax.Array:
+    """(B, S) -> (B, S, V) f32 logits. Causal + padding mask.
+
+    ``rng`` enables train-time dropout; ``rng=None`` is deterministic."""
     b, s = input_ids.shape
     if positions is None:
         positions = positions_from_mask(attention_mask)
@@ -260,32 +277,43 @@ def lm_logits(params: Params, cfg: LMConfig, input_ids, attention_mask,
     keymask = attention_mask[:, None, None, :].astype(bool)
     bias = jnp.where(causal & keymask, 0.0, -1e9).astype(jnp.float32)
 
+    use_drop = rng is not None and cfg.dropout > 0.0
     if cfg.arch == "gpt2":
-        def block(layer, x):
-            return _gpt2_block(layer, cfg, x, bias)[0]
+        rngs = (list(jax.random.split(rng, 1 + 3 * cfg.layers))
+                if use_drop else [None] * (1 + 3 * cfg.layers))
+        x = _dropout(x, cfg.dropout, rngs[0])  # embd_pdrop
+
+        def block(layer, x, *r):
+            return _gpt2_block(layer, cfg, x, bias, rngs=r)[0]
+        layer_rngs = [rngs[1 + 3 * i: 4 + 3 * i]
+                      for i in range(cfg.layers)]
     else:
-        def block(layer, x):
+        rngs = (list(jax.random.split(rng, cfg.layers))
+                if use_drop else [None] * cfg.layers)
+
+        def block(layer, x, r):
             a, _ = _attention(
                 layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
-                positions, bias,
+                positions, bias, rng=r,
             )
             x = x + a
             return x + _mlp(layer,
                             _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+        layer_rngs = [(r,) for r in rngs]
 
     if cfg.remat:
         # activation recomputation (reference: use_gradient_checkpoint_
         # generator toggling, src/rag.py:1336-1345, 1800-1802)
         block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(layer, x)
+    for layer, r in zip(params["layers"], layer_rngs):
+        x = block(layer, x, *r)
     x = _final_norm(params, cfg, x)
     return _unembed(params, cfg, x)
 
 
 def lm_loss(params: Params, cfg: LMConfig, input_ids, attention_mask,
             labels, *, length_normalized: bool = True,
-            logit_temp: float = 1.0):
+            logit_temp: float = 1.0, rng=None):
     """Causal-LM cross entropy with IGNORE_INDEX masking.
 
     Returns per-sequence loss (B,) — length-normalized like the reference's
@@ -294,7 +322,7 @@ def lm_loss(params: Params, cfg: LMConfig, input_ids, attention_mask,
     ``logit_temp`` divides the logits before CE (the reference's
     ``temperature_gold``, src/rag.py:1349).
     """
-    logits = lm_logits(params, cfg, input_ids, attention_mask)
+    logits = lm_logits(params, cfg, input_ids, attention_mask, rng=rng)
     if logit_temp != 1.0:
         logits = logits / logit_temp
     # next-token prediction: logits[t] predicts token t+1

@@ -65,21 +65,23 @@ class DualEncoderRetriever:
 
     # ----------------------------------------------------------------- apply
     def embed(self, params: Params, input_ids, attention_mask,
-              *, is_passages: bool) -> jax.Array:
+              *, is_passages: bool, rng=None) -> jax.Array:
         """(B, S) ids -> (B, H) embeddings; dispatch like the reference's
-        ``forward(is_passages=...)`` (src/retrievers.py:157-161)."""
+        ``forward(is_passages=...)`` (src/retrievers.py:157-161).
+        ``rng`` enables train-time dropout (eval passes None)."""
         tower = self._tower(params, is_passages)
         if is_passages and self.cfg.query_side_only:
             tower = jax.lax.stop_gradient(tower)
-        return bert_encode(tower, self.cfg.bert, input_ids, attention_mask)
+        return bert_encode(tower, self.cfg.bert, input_ids, attention_mask,
+                           rng)
 
-    def embed_queries(self, params, input_ids, attention_mask):
+    def embed_queries(self, params, input_ids, attention_mask, rng=None):
         return self.embed(params, input_ids, attention_mask,
-                          is_passages=False)
+                          is_passages=False, rng=rng)
 
-    def embed_passages(self, params, input_ids, attention_mask):
+    def embed_passages(self, params, input_ids, attention_mask, rng=None):
         return self.embed(params, input_ids, attention_mask,
-                          is_passages=True)
+                          is_passages=True, rng=rng)
 
 
 def make_posterior(prior_params: Params, *, decouple: bool) -> Params:

@@ -56,6 +56,11 @@ class ApplyFns:
     contrastive: bool = False
     reduce_norm: bool = False
     eps: float = 1e-30
+    # gate for train-time dropout: the training loss-and-grad path sets this
+    # true (when Options.dropout > 0) so the encoder/generator forwards get
+    # dropout rngs; eval forwards use a replace(train_dropout=False) copy and
+    # stay deterministic (reference: torch .train()/.eval() mode switching)
+    train_dropout: bool = False
 
     def gen_params(self, params):
         if self.lora_cfg is not None and "lora" in params:
@@ -83,21 +88,30 @@ class ApplyFns:
         return out
 
 
-def _per_row_ce(fns: ApplyFns, params, gen_ids, gen_labels, gen_mask):
+def _drop_rngs(fns: ApplyFns, rng, n: int):
+    """n dropout rngs (train path) or Nones (eval / dropout off)."""
+    if rng is None or not fns.train_dropout:
+        return (None,) * n
+    return tuple(jax.random.split(rng, n))
+
+
+def _per_row_ce(fns: ApplyFns, params, gen_ids, gen_labels, gen_mask,
+                rng=None):
     """Length-normalized CE per row (reference: src/rag.py:1349-1366)."""
     per_seq, _ = lm_loss(
         fns.gen_params(params), fns.gen_cfg, gen_ids, gen_mask, gen_labels,
-        logit_temp=fns.temperature_gold,
+        logit_temp=fns.temperature_gold, rng=rng,
     )
     return per_seq
 
 
-def _embed_rows(retriever, tower_params, ids, mask, *, is_passages):
+def _embed_rows(retriever, tower_params, ids, mask, *, is_passages,
+                rng=None):
     """(B, K, L) token arrays -> (B, K, H) embeddings."""
     b, k, l = ids.shape
     emb = retriever.embed(
         tower_params, ids.reshape(b * k, l), mask.reshape(b * k, l),
-        is_passages=is_passages,
+        is_passages=is_passages, rng=rng,
     )
     return emb.reshape(b, k, -1)
 
@@ -111,8 +125,9 @@ def _doc_scores(q_emb, p_emb):
 def concat_loss(fns: ApplyFns, params, batch, rng=None):
     """Generator-only fine-tuning on concatenated passages
     (reference: src/rag.py:1286-1366). No retriever gradient."""
+    (r_gen,) = _drop_rngs(fns, rng, 1)
     per_seq = _per_row_ce(fns, params, batch["gen_ids"],
-                          batch["gen_labels"], batch["gen_mask"])
+                          batch["gen_labels"], batch["gen_mask"], rng=r_gen)
     loss = jnp.mean(per_seq)
     return loss, {"loss/generator_loss": loss}
 
@@ -123,15 +138,16 @@ def rag_loss(fns: ApplyFns, params, batch, rng=None):
     p(y|x) = sum_z softmax(score(x,z)) * exp(-CE_z); the retriever learns
     through the marginal."""
     r = fns.retriever
+    r_q, r_p, r_gen = _drop_rngs(fns, rng, 3)
     q_emb = r.embed_queries(params["retriever"], batch["q_ids"],
-                            batch["q_mask"])
+                            batch["q_mask"], rng=r_q)
     p_emb = _embed_rows(r, params["retriever"], batch["passage_ids"],
-                        batch["passage_mask"], is_passages=True)
+                        batch["passage_mask"], is_passages=True, rng=r_p)
     scores = _doc_scores(q_emb, p_emb)  # (B, K)
 
     b, k, _ = batch["passage_ids"].shape
     per_seq = _per_row_ce(fns, params, batch["gen_ids"],
-                          batch["gen_labels"], batch["gen_mask"])
+                          batch["gen_labels"], batch["gen_mask"], rng=r_gen)
     ce = per_seq.reshape(b, k)
 
     p_z = jax.nn.softmax(scores, axis=-1)
@@ -150,20 +166,22 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
     or simple top-k support."""
     params = fns.expand(params)
     r = fns.retriever
+    r_pq, r_oq, r_pp, r_gen, r_u1, r_u2 = _drop_rngs(fns, rng, 6)
     prior_q = r.embed_queries(params["retriever"], batch["q_ids"],
-                              batch["q_mask"])
+                              batch["q_mask"], rng=r_pq)
     post_q = r.embed_queries(params["post_retriever"], batch["post_q_ids"],
-                             batch["post_q_mask"])
+                             batch["post_q_mask"], rng=r_oq)
     post_p = _embed_rows(r, params["post_retriever"],
                          batch["post_passage_ids"],
-                         batch["post_passage_mask"], is_passages=True)
+                         batch["post_passage_mask"], is_passages=True,
+                         rng=r_pp)
     post_scores = _doc_scores(post_q, post_p)  # (B, K)
     posterior_dist = jax.nn.softmax(
         post_scores / fns.temperature_score, axis=-1) + fns.eps
 
     b, k, _ = batch["post_passage_ids"].shape
     per_seq = _per_row_ce(fns, params, batch["gen_ids"],
-                          batch["gen_labels"], batch["gen_mask"])
+                          batch["gen_labels"], batch["gen_mask"], rng=r_gen)
     ce = per_seq.reshape(b, k)
     if fns.standard_mc:
         loss = jnp.mean(jnp.mean(ce, axis=-1))
@@ -178,9 +196,9 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
         u_ids, u_mask = batch["union_passage_ids"], batch["union_passage_mask"]
         valid = batch["union_valid"]  # (B, U) bool
         prior_u = _embed_rows(r, params["retriever"], u_ids, u_mask,
-                              is_passages=True)
+                              is_passages=True, rng=r_u1)
         post_u = _embed_rows(r, params["post_retriever"], u_ids, u_mask,
-                             is_passages=True)
+                             is_passages=True, rng=r_u2)
         prior_logits = jnp.where(valid, _doc_scores(prior_q, prior_u), NEG_INF)
         post_logits = jnp.where(valid, _doc_scores(post_q, post_u), NEG_INF)
         log_prior = jax.nn.log_softmax(prior_logits, axis=-1)
@@ -215,17 +233,23 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
     params = fns.expand(params)
     r = fns.retriever
     b, u, _ = batch["union_passage_ids"].shape
+    if fns.train_dropout:
+        rng, d_rng = jax.random.split(rng)
+    else:
+        d_rng = None
+    r_pq, r_oq, r_un, r_gen = _drop_rngs(fns, d_rng, 4)
 
     prior_q = r.embed_queries(params["retriever"], batch["q_ids"],
-                              batch["q_mask"])
+                              batch["q_mask"], rng=r_pq)
     post_q = r.embed_queries(params["post_retriever"], batch["post_q_ids"],
-                             batch["post_q_mask"])
+                             batch["post_q_mask"], rng=r_oq)
     # union candidates embedded with the posterior's passage tower for both
     # scores (reference: src/rag.py:1855-1875 uses post_retriever for the
     # union; identical towers when decouple_encoder)
     union_emb = _embed_rows(r, params["post_retriever"],
                             batch["union_passage_ids"],
-                            batch["union_passage_mask"], is_passages=True)
+                            batch["union_passage_mask"], is_passages=True,
+                            rng=r_un)
     valid = batch["union_valid"]
     prior_logits = jnp.where(
         valid, _doc_scores(prior_q, union_emb) / fns.temperature_jsa, NEG_INF)
@@ -236,7 +260,7 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
 
     # one generator forward over every unique candidate, WITH grad
     per_seq = _per_row_ce(fns, params, batch["gen_ids"],
-                          batch["gen_labels"], batch["gen_mask"])
+                          batch["gen_labels"], batch["gen_mask"], rng=r_gen)
     ce = per_seq.reshape(b, u)  # (B, U)
     log_lm = jax.lax.stop_gradient(-ce)  # get_llm_score (src/rag.py:2328)
 

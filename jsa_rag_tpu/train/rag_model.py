@@ -86,6 +86,7 @@ class RAGModel:
             contrastive=opt.contrastive_learning,
             reduce_norm=opt.reduce_norm,
             eps=opt.eps,
+            train_dropout=opt.dropout > 0.0,
         )
         self._jit_cache: dict[Any, Any] = {}
 
@@ -450,11 +451,14 @@ class RAGModel:
 
     def forward(self, mode: str, index, params, queries, targets, rng,
                 iter_stats: dict | None = None):
-        """One un-jitted forward (loss only) — used by eval loss paths."""
+        """One un-jitted forward (loss only) — used by eval loss paths.
+        Dropout is disabled here regardless of Options.dropout (the
+        reference switches modules to .eval(), evaluate.py:215)."""
         batch = self.build_batch(mode, index, params, queries, targets,
                                  iter_stats=iter_stats)
+        eval_fns = dataclasses.replace(self.fns, train_dropout=False)
         loss_fn = self._jit(("loss", mode), lambda: jax.jit(
-            functools.partial(MODE_LOSSES[mode], self.fns)))
+            functools.partial(MODE_LOSSES[mode], eval_fns)))
         return loss_fn(params, batch, rng)
 
     # -------------------------------------------------------------- generation

@@ -149,6 +149,57 @@ def test_method_generate_shapes(setup):
     assert all_gen.shape == (2, model.opt.n_context, 4)
 
 
+def test_dropout_train_stochastic_eval_deterministic():
+    """Options.dropout wires train-time dropout into the loss path (different
+    rngs -> different losses) while eval forwards stay deterministic
+    (reference: opt.dropout via set_dropout, src/util.py:164-167; .eval()
+    mode at evaluate time)."""
+    import dataclasses as dc
+    from jsa_rag_tpu.model_io import load_or_initialize_model
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+
+    opt = Options(model_size="tiny", precision="fp32", use_lora=False,
+                  gold_score_mode="rag", n_context=2, dropout=0.3,
+                  text_maxlength=64, target_maxlength=8,
+                  per_gpu_batch_size=2, mesh_data=1)
+    store = PassageStore.synthetic(16, seed=0)
+    model, params, _ = load_or_initialize_model(opt, store)
+    assert model.fns.train_dropout
+    assert model.fns.gen_cfg.dropout == 0.3
+    assert model.fns.retriever.cfg.bert.dropout == 0.3
+
+    mesh = make_mesh(n_data=1)
+    index = ShardedFlatIndex(mesh, len(store),
+                             model.retriever.cfg.bert.hidden,
+                             dtype=jnp.float32, method="exact")
+    model.build_index(index, params)
+    queries, targets = ["q one", "q two"], ["a", "b"]
+    batch = model.build_batch("rag", index, params, queries, targets)
+
+    vg = model.loss_and_grad_fn("rag")
+    (l1, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+    (l2, _), _ = vg(params, batch, jax.random.PRNGKey(1))
+    (l1b, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+    assert float(l1) != float(l2)            # stochastic across rngs
+    assert float(l1) == float(l1b)           # reproducible per rng
+
+    e1, _ = model.forward("rag", index, params, queries, targets,
+                          jax.random.PRNGKey(0))
+    e2, _ = model.forward("rag", index, params, queries, targets,
+                          jax.random.PRNGKey(1))
+    assert float(e1) == float(e2)            # eval rng-free
+
+    # dropout=0 model: train path deterministic too
+    opt0 = dc.replace(opt, dropout=0.0)
+    model0, params0, _ = load_or_initialize_model(opt0, store)
+    model0.build_index(index, params0)
+    batch0 = model0.build_batch("rag", index, params0, queries, targets)
+    vg0 = model0.loss_and_grad_fn("rag")
+    (z1, _), _ = vg0(params0, batch0, jax.random.PRNGKey(0))
+    (z2, _), _ = vg0(params0, batch0, jax.random.PRNGKey(1))
+    assert float(z1) == float(z2)
+
+
 def test_generate_beam_path(setup):
     """RAGModel.generate dispatches to beam search when
     generation_num_beams > 1, honoring decoder_prompt_format."""
