@@ -105,8 +105,14 @@ class Options:
     kl_beta: float = 1.0
 
     # ----- index (src/options.py:553-588)
-    index_mode: str = "flat"  # flat | ivf
+    index_mode: str = "flat"  # flat | ivf | faiss (reference alias)
     index_dtype: str = "bfloat16"
+    # reference FAISS flags (src/options.py:553-588): with
+    # --index_mode faiss, faiss_index_type selects flat / ivfflat / ivfsq /
+    # ivfpq / pq; faiss_code_size is the PQ bytes-per-vector (flagship: 32,
+    # run-jsa-nq-no-rebuild.sh:56-57)
+    faiss_index_type: str = "ivfpq"
+    faiss_code_size: int = 32
     ivf_n_lists: int = 0  # 0 -> auto: min(sqrt(N)/100-ish heuristic, 2048)
     ivf_n_probe: int = 0
     load_index_path: str | None = None

@@ -3,17 +3,38 @@ from .flat import ShardedFlatIndex  # noqa: F401
 
 def build_index_for(opt, n_passages: int, dim: int, mesh):
     """Construct the index an Options object asks for (used by both
-    train.py and evaluate.py so the two cannot drift)."""
+    train.py and evaluate.py so the two cannot drift).
+
+    ``--index_mode faiss --faiss_index_type X`` follows the reference's
+    flags (src/options.py:553-588, src/index.py:309-352): flat -> exact
+    flat; ivfflat -> IVF dense; ivfsq -> IVF int8; ivfpq -> IVF product-
+    quantized with faiss_code_size bytes/row; pq -> PQ without a useful
+    coarse level (one list per shard, all probed).
+    """
     import jax.numpy as jnp
 
     dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
              "float32": jnp.float32, "int8": jnp.int8}[opt.index_dtype]
-    if opt.index_mode == "ivf":
+    mode = opt.index_mode
+    storage, n_lists, n_probe = "dense", opt.ivf_n_lists or None, \
+        opt.ivf_n_probe or None
+    if mode == "faiss":
+        ftype = opt.faiss_index_type
+        if ftype == "flat":
+            return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype)
+        mode = "ivf"
+        storage = {"ivfflat": "dense", "ivfsq": "sq8",
+                   "ivfpq": "pq", "pq": "pq"}[ftype]
+        if ftype == "pq":  # flat PQ: degenerate coarse level, scan all
+            n_lists = mesh.devices.size
+            n_probe = n_lists
+    if mode == "ivf":
         from .ivf import ShardedIVFIndex
 
         return ShardedIVFIndex(mesh, n_passages, dim, dtype=dtype,
-                               n_lists=opt.ivf_n_lists or None,
-                               n_probe=opt.ivf_n_probe or None)
+                               n_lists=n_lists, n_probe=n_probe,
+                               storage=storage,
+                               code_size=opt.faiss_code_size)
     return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype)
 
 

@@ -9,6 +9,19 @@ and a probe-union scan instead of FAISS's inverted-list traversal:
   to a fixed capacity, sharded over every device on the cluster axis;
   ``ids`` (C, cap) int32 global passage ids (-1 = pad); ``centroids`` (C, d)
   and ``counts`` replicated;
+- three storage modes mirroring the FAISS index types the reference uses
+  (flagship config is ivfpq with code_size 32,
+  egs/NaturalQuestion/JSA/run-jsa-nq-no-rebuild.sh:56-57):
+  ``dense`` (ivfflat: raw dtype rows), ``sq8`` (ivfsq: per-row symmetric
+  int8 scalar quantization — 1 byte/dim + 4-byte scale), and ``pq``
+  (ivfpq: residual product quantization — d/code_size-dim subvectors,
+  256-entry L2-trained codebooks, ``code_size`` bytes/row). On TPU the PQ
+  scan *reconstructs* probed rows from the codebooks in VMEM and scores
+  them on the MXU (decode-and-matmul) instead of FAISS's LUT-gather ADC:
+  HBM traffic is the compressed codes (the actual bottleneck), while the
+  reconstruction matmul rides effectively-free MXU FLOPs. The coarse
+  q·centroid term is reused from the probe matmul, so scores stay exact
+  up to PQ reconstruction error: q·x̂ = q·c + q·r̂;
 - search: queries score the centroids (one small matmul), take top-n_probe
   lists per query, deduplicate the *batch union* of probed lists to a static
   budget (``jnp.unique(..., size=...)``), and scan only those cluster tiles —
@@ -38,9 +51,29 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.kmeans import kmeans
+from ..ops.mips_pallas2 import quantize_int8
 from ..parallel.mesh import AXES
 
 NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _pq_encode(residuals: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """(rows, d) residuals -> (rows, m) uint8 codes: per-subvector argmin-L2
+    against the (m, K, ds) codebooks (one MXU matmul per call)."""
+    rows = residuals.shape[0]
+    m, _, ds = codebooks.shape
+    r = residuals.astype(jnp.float32).reshape(rows, m, ds)
+    s = jnp.einsum("rmd,mkd->rmk", r, codebooks,
+                   preferred_element_type=jnp.float32)
+    s = s - 0.5 * jnp.sum(jnp.square(codebooks), axis=-1)[None]
+    return jnp.argmax(s, axis=-1).astype(jnp.uint8)
+
+
+def _pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """(rows, m) codes -> (rows, d) f32 reconstructed residuals."""
+    m = codebooks.shape[0]
+    rec = codebooks[jnp.arange(m)[None, :], codes.astype(jnp.int32)]
+    return rec.reshape(codes.shape[0], -1)
 
 
 def auto_n_lists(n: int) -> int:
@@ -57,15 +90,21 @@ def _stage_rows(buf, block, start, sharding):
 class ShardedIVFIndex:
     def __init__(self, mesh: Mesh, n_passages: int, dim: int,
                  dtype=jnp.bfloat16, n_lists: int | None = None,
-                 n_probe: int | None = None):
+                 n_probe: int | None = None, storage: str = "dense",
+                 code_size: int = 32):
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
-        if jnp.dtype(dtype) in (jnp.int8, jnp.int16):
+        if jnp.dtype(dtype) == jnp.int8:
+            # --index_dtype int8 + --index_mode ivf == the reference's ivfsq
+            storage, dtype = "sq8", jnp.bfloat16
+        if storage not in ("dense", "sq8", "pq"):
+            raise ValueError(f"unknown IVF storage {storage!r}")
+        if storage == "pq" and dim % code_size != 0:
             raise ValueError(
-                "quantized IVF storage is not implemented; use "
-                "--index_mode flat with --index_dtype int8/float16, or IVF "
-                "with bfloat16/float32")
+                f"code_size {code_size} must divide dim {dim}")
+        self.storage = storage
+        self.code_size = code_size  # PQ: subvectors per row == bytes/row
         self.dtype = dtype
         self.n_shards = mesh.devices.size
         c = n_lists or auto_n_lists(n_passages)
@@ -75,14 +114,17 @@ class ShardedIVFIndex:
         self.n_probe = n_probe or max(self.n_lists // 16, 1)
         self.cap = 0  # set by train()
         self.centroids = None  # (C, d) f32 replicated
-        self.clusters = None   # (C, cap, d) sharded on axis 0
+        self.clusters = None   # (C, cap, d|code_size) sharded on axis 0
+        self.scales = None     # sq8: (C, cap) f32 per-row dequant scales
+        self.codebooks = None  # pq: (m, 256, d/m) f32 replicated
         self.ids = None        # (C, cap) int32 sharded on axis 0
         self._search_fn = None
 
     # ------------------------------------------------------------------ build
     def train(self, embeddings, *, key=None, iters: int = 10,
               chunk: int = 65536) -> None:
-        """k-means + cluster-major layout. ``embeddings``: (N, d) device or
+        """k-means + cluster-major layout (+ PQ codebook training / row
+        quantization per ``storage``). ``embeddings``: (N, d) device or
         host array in global passage order."""
         key = key if key is not None else jax.random.PRNGKey(0)
         emb = jnp.asarray(embeddings)
@@ -102,33 +144,76 @@ class ShardedIVFIndex:
             pos[order[start:start + cnt]] = np.arange(cnt)
             start += cnt
 
+        if self.storage == "pq":
+            self._train_codebooks(emb, assign, centroids, key, iters)
+
         shard_spec = NamedSharding(self.mesh, P(AXES.all, None, None))
         ids_spec = NamedSharding(self.mesh, P(AXES.all, None))
+        row_dim, store_dtype = {
+            "dense": (self.dim, self.dtype),
+            "sq8": (self.dim, jnp.int8),
+            "pq": (self.code_size, jnp.uint8),
+        }[self.storage]
         clusters = jax.device_put(
-            jnp.zeros((self.n_lists, self.cap, self.dim), self.dtype),
+            jnp.zeros((self.n_lists, self.cap, row_dim), store_dtype),
             shard_spec)
         ids = jax.device_put(
             jnp.full((self.n_lists, self.cap), -1, jnp.int32), ids_spec)
+        scales = None
+        if self.storage == "sq8":
+            scales = jax.device_put(
+                jnp.zeros((self.n_lists, self.cap), jnp.float32), ids_spec)
+        cb = self.codebooks
+        cent_dev = jnp.asarray(centroids)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def scatter(clusters, ids, e_chunk, cid, p, gid):
-            clusters = clusters.at[cid, p].set(e_chunk.astype(self.dtype))
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def scatter(clusters, ids, scales, e_chunk, cid, p, gid):
+            if self.storage == "dense":
+                clusters = clusters.at[cid, p].set(e_chunk.astype(self.dtype))
+            elif self.storage == "sq8":
+                v, sc = quantize_int8(e_chunk)
+                clusters = clusters.at[cid, p].set(v)
+                scales = scales.at[cid, p].set(sc[:, 0])
+                scales = jax.lax.with_sharding_constraint(scales, ids_spec)
+            else:  # pq: residual product-quantize against the coarse centroid
+                codes = _pq_encode(e_chunk - cent_dev[cid], cb)
+                clusters = clusters.at[cid, p].set(codes)
             ids = ids.at[cid, p].set(gid)
             clusters = jax.lax.with_sharding_constraint(clusters, shard_spec)
             ids = jax.lax.with_sharding_constraint(ids, ids_spec)
-            return clusters, ids
+            return clusters, ids, scales
 
         step = 262144
         for s in range(0, n, step):
             t = min(s + step, n)
-            clusters, ids = scatter(
-                clusters, ids, emb[s:t],
+            clusters, ids, scales = scatter(
+                clusters, ids, scales, emb[s:t],
                 jnp.asarray(assign[s:t]), jnp.asarray(pos[s:t]),
                 jnp.arange(s, t, dtype=jnp.int32))
         self.centroids = jax.device_put(
             centroids, NamedSharding(self.mesh, P()))
-        self.clusters, self.ids = clusters, ids
+        self.clusters, self.ids, self.scales = clusters, ids, scales
         self._search_fn = None
+
+    def _train_codebooks(self, emb, assign, centroids, key, iters) -> None:
+        """256-entry L2 k-means codebooks per subvector, trained on a sample
+        of coarse residuals (FAISS trains PQ on a corpus sample too,
+        src/index.py:367-389 chunked training)."""
+        n = emb.shape[0]
+        m, ds = self.code_size, self.dim // self.code_size
+        sample_n = min(n, 65536)
+        sample = np.linspace(0, n - 1, sample_n).astype(np.int64)
+        res = (jnp.asarray(emb)[sample]
+               - jnp.asarray(centroids)[np.asarray(assign)[sample]])
+        n_codes = min(256, sample_n)
+        books = []
+        for j, k_j in enumerate(jax.random.split(key, m)):
+            cb, _ = kmeans(res[:, j * ds:(j + 1) * ds], k_j, n_codes,
+                           iters=iters, chunk=min(65536, max(sample_n, 8)),
+                           metric="l2")
+            books.append(cb)
+        self.codebooks = jax.device_put(
+            jnp.stack(books), NamedSharding(self.mesh, P()))  # (m, K, ds)
 
     # --------------------------------------------------- build-pipeline API
     # The embed sweep (index/build.py) writes global-order row blocks; IVF
@@ -153,11 +238,13 @@ class ShardedIVFIndex:
 
     @classmethod
     def from_flat(cls, flat, n_lists: int | None = None,
-                  n_probe: int | None = None, **kw) -> "ShardedIVFIndex":
+                  n_probe: int | None = None, storage: str = "dense",
+                  code_size: int = 32, **kw) -> "ShardedIVFIndex":
         dtype = (jnp.bfloat16 if flat.dtype in (jnp.int16, jnp.int8)
                  else flat.dtype)
         idx = cls(flat.mesh, flat.n_passages, flat.dim, dtype=dtype,
-                  n_lists=n_lists, n_probe=n_probe)
+                  n_lists=n_lists, n_probe=n_probe, storage=storage,
+                  code_size=code_size)
         idx.train(flat.embeddings_as_float(), **kw)
         return idx
 
@@ -166,8 +253,13 @@ class ShardedIVFIndex:
         n_probe = min(n_probe or self.n_probe, self.n_lists)
         k = min(k, self.n_passages)
         fn = self._get_search_fn(k, n_probe)
+        extra = ()
+        if self.storage == "sq8":
+            extra = (self.scales,)
+        elif self.storage == "pq":
+            extra = (self.codebooks,)
         return fn(jnp.asarray(queries, jnp.float32), self.centroids,
-                  self.clusters, self.ids)
+                  self.clusters, self.ids, *extra)
 
     def _get_search_fn(self, k: int, n_probe: int):
         key = (k, n_probe)
@@ -177,8 +269,9 @@ class ShardedIVFIndex:
         c_local = self.n_lists // self.n_shards
         cap = self.cap
         axes = AXES.all
+        storage = self.storage
 
-        def body(q, centroids, clusters_local, ids_local):
+        def body(q, centroids, clusters_local, ids_local, *extra):
             b = q.shape[0]
             n_sel = min(self.n_lists, b * n_probe)
             c_scores = jax.lax.dot_general(
@@ -197,12 +290,28 @@ class ShardedIVFIndex:
 
             def scan_step(carry, inp):
                 cs, ci = carry
-                cid, ok = inp
-                tile = clusters_local[cid]          # (cap, d)
+                cid, gcid, ok = inp
                 gids = ids_local[cid]               # (cap,)
-                s = jax.lax.dot_general(
-                    q, tile, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (B, cap)
+                if storage == "dense":
+                    tile = clusters_local[cid]      # (cap, d)
+                    s = jax.lax.dot_general(
+                        q, tile, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (B, cap)
+                elif storage == "sq8":
+                    # HBM reads 1 byte/dim; dequant happens in VMEM
+                    tile = clusters_local[cid].astype(jnp.float32)
+                    s = jax.lax.dot_general(
+                        q, tile, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s * extra[0][cid][None, :]  # per-row scales
+                else:  # pq: decode-and-matmul; coarse term from the probe
+                    rec = _pq_decode(clusters_local[cid], extra[0])
+                    s = jax.lax.dot_general(
+                        q, rec, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + jax.lax.dynamic_index_in_dim(
+                        c_scores, jnp.maximum(gcid, 0), axis=1,
+                        keepdims=True)  # q·centroid + q·residual̂
                 s = jnp.where(ok & (gids >= 0)[None, :], s, NEG_INF)
                 all_s = jnp.concatenate([cs, s], axis=1)
                 all_i = jnp.concatenate(
@@ -213,15 +322,21 @@ class ShardedIVFIndex:
             init = (jnp.full((b, k_local), NEG_INF, jnp.float32),
                     jnp.full((b, k_local), -1, jnp.int32))
             (scores, gidx), _ = jax.lax.scan(scan_step, init,
-                                             (local, sel_valid))
+                                             (local, sel, sel_valid))
             all_s = jax.lax.all_gather(scores, axes, axis=1, tiled=True)
             all_i = jax.lax.all_gather(gidx, axes, axis=1, tiled=True)
             v, a = jax.lax.top_k(all_s, k)
             return v, jnp.take_along_axis(all_i, a, axis=1)
 
+        extra_specs = ()
+        if storage == "sq8":
+            extra_specs = (P(AXES.all, None),)   # scales sharded with rows
+        elif storage == "pq":
+            extra_specs = (P(),)                 # codebooks replicated
         mapped = shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(), P(), P(AXES.all, None, None), P(AXES.all, None)),
+            in_specs=(P(), P(), P(AXES.all, None, None), P(AXES.all, None))
+            + extra_specs,
             out_specs=(P(), P()), check_vma=False)
         fn = jax.jit(mapped)
         self._search_fn = (key, fn)
@@ -239,10 +354,17 @@ class ShardedIVFIndex:
                 np.array_split(ids, n_files))):
             np.save(os.path.join(path, f"clusters.{i}.npy"), cb)
             np.save(os.path.join(path, f"ids.{i}.npy"), ib)
+        if self.storage == "sq8":
+            np.save(os.path.join(path, "scales.npy"),
+                    np.asarray(jax.device_get(self.scales)))
+        elif self.storage == "pq":
+            np.save(os.path.join(path, "codebooks.npy"),
+                    np.asarray(jax.device_get(self.codebooks)))
         meta = {"n_passages": self.n_passages, "dim": self.dim,
                 "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
                 "n_lists": self.n_lists, "n_probe": self.n_probe,
-                "cap": self.cap, "n_files": n_files, "kind": "ivf"}
+                "cap": self.cap, "n_files": n_files, "kind": "ivf",
+                "storage": self.storage, "code_size": self.code_size}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -252,7 +374,9 @@ class ShardedIVFIndex:
             meta = json.load(f)
         idx = cls(mesh, meta["n_passages"], meta["dim"],
                   dtype=jnp.dtype(meta["dtype"]), n_lists=meta["n_lists"],
-                  n_probe=meta["n_probe"])
+                  n_probe=meta["n_probe"],
+                  storage=meta.get("storage", "dense"),
+                  code_size=meta.get("code_size", 32))
         idx.cap = meta["cap"]
         clusters = np.concatenate(
             [np.load(os.path.join(path, f"clusters.{i}.npy"))
@@ -263,9 +387,19 @@ class ShardedIVFIndex:
         idx.centroids = jax.device_put(
             jnp.asarray(np.load(os.path.join(path, "centroids.npy"))),
             NamedSharding(mesh, P()))
+        store_dtype = {"dense": idx.dtype, "sq8": jnp.int8,
+                       "pq": jnp.uint8}[idx.storage]
         idx.clusters = jax.device_put(
-            jnp.asarray(clusters, idx.dtype),
+            jnp.asarray(clusters, store_dtype),
             NamedSharding(mesh, P(AXES.all, None, None)))
         idx.ids = jax.device_put(
             jnp.asarray(ids), NamedSharding(mesh, P(AXES.all, None)))
+        if idx.storage == "sq8":
+            idx.scales = jax.device_put(
+                jnp.asarray(np.load(os.path.join(path, "scales.npy"))),
+                NamedSharding(mesh, P(AXES.all, None)))
+        elif idx.storage == "pq":
+            idx.codebooks = jax.device_put(
+                jnp.asarray(np.load(os.path.join(path, "codebooks.npy"))),
+                NamedSharding(mesh, P()))
         return idx

@@ -14,19 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "iters", "chunk", "metric"))
 def kmeans(
     embeddings: jax.Array,  # (N, d), any float dtype
     key: jax.Array,
     n_clusters: int,
     iters: int = 10,
     chunk: int = 65536,
+    metric: str = "ip",
 ) -> tuple[jax.Array, jax.Array]:
     """-> (centroids (C, d) f32, assignments (N,) int32).
 
-    Inner-product assignment (the index is MIPS; with L2-normalized
-    embeddings this is spherical k-means). Empty clusters keep their previous
-    centroid.
+    ``metric="ip"``: inner-product assignment (the index is MIPS; with
+    L2-normalized embeddings this is spherical k-means). ``metric="l2"``:
+    Euclidean assignment via the -2x·c + |c|² expansion (still one MXU
+    matmul) — used for PQ codebook training, which minimizes reconstruction
+    error. Empty clusters keep their previous centroid.
     """
     n, d = embeddings.shape
     emb = embeddings.astype(jnp.float32)
@@ -43,6 +47,8 @@ def kmeans(
         s = jax.lax.dot_general(
             e, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if metric == "l2":
+            s = s - 0.5 * jnp.sum(jnp.square(centroids), axis=-1)[None, :]
         return jnp.argmax(s, axis=-1).astype(jnp.int32)
 
     def step(centroids, _):

@@ -96,6 +96,116 @@ def test_ivf_no_pad_ids(corpora):
     assert vi.min() >= 0 and vi.max() < len(e)
 
 
+def test_ivf_sq8_full_probe_near_flat(corpora):
+    """ivfsq parity: int8 scalar-quantized storage tracks the flat search
+    closely at full probe (reference ivfsq, src/index.py:309-352)."""
+    mesh, e, flat = corpora
+    ivf = ShardedIVFIndex.from_flat(flat, n_lists=16, n_probe=16, iters=10,
+                                    storage="sq8")
+    assert ivf.clusters.dtype == jnp.int8
+    rng = np.random.default_rng(6)
+    q = (e[rng.integers(0, len(e), 16)] +
+         0.05 * rng.standard_normal((16, 32))).astype(np.float32)
+    _, fi = flat.search(jnp.asarray(q), 10)
+    _, vi = ivf.search(jnp.asarray(q), 10, n_probe=16)
+    fi, vi = np.asarray(fi), np.asarray(vi)
+    recall = np.mean([len(set(vi[i]) & set(fi[i])) / 10
+                      for i in range(len(q))])
+    assert recall >= 0.95, recall
+    # top-1 survives quantization on well-separated data
+    assert np.mean(vi[:, 0] == fi[:, 0]) >= 0.9
+
+
+def test_ivf_pq_recall_and_memory(corpora):
+    """ivfpq parity: residual PQ storage (code_size bytes/row) keeps
+    high recall@10 at full probe, at ~1/16 the HBM of the dense rows
+    (flagship config: ivfpq code_size 32, run-jsa-nq-no-rebuild.sh:56-57)."""
+    mesh, e, flat = corpora
+    ivf = ShardedIVFIndex.from_flat(flat, n_lists=16, n_probe=16, iters=10,
+                                    storage="pq", code_size=8)
+    assert ivf.clusters.dtype == jnp.uint8
+    assert ivf.clusters.shape[-1] == 8  # 8 bytes/row vs 32*4 dense
+    rng = np.random.default_rng(7)
+    gold = rng.integers(0, len(e), 32)
+    q = (e[gold] + 0.05 * rng.standard_normal((32, 32))).astype(np.float32)
+    _, fi = flat.search(jnp.asarray(q), 10)
+    _, vi = ivf.search(jnp.asarray(q), 10, n_probe=16)
+    fi, vi = np.asarray(fi), np.asarray(vi)
+    # set overlap with the exact top-10 is bounded by PQ reconstruction
+    # error shuffling ranks *within* a tight cluster (~3% rel err here);
+    # what matters is that the true neighbors are retrieved:
+    recall = np.mean([len(set(vi[i]) & set(fi[i])) / 10
+                      for i in range(len(q))])
+    assert recall >= 0.7, recall
+    # the exact top-1 (max inner product) survives into the PQ top-10
+    top1_in_10 = np.mean([fi[i, 0] in set(vi[i]) for i in range(len(q))])
+    assert top1_in_10 >= 0.9, top1_in_10
+
+
+def test_ivf_pq_recall_improves_with_nprobe(corpora):
+    mesh, e, flat = corpora
+    ivf = ShardedIVFIndex.from_flat(flat, n_lists=16, n_probe=1, iters=10,
+                                    storage="pq", code_size=8)
+    rng = np.random.default_rng(8)
+    q = (e[rng.integers(0, len(e), 16)] +
+         0.1 * rng.standard_normal((16, 32))).astype(np.float32)
+    _, fi = flat.search(jnp.asarray(q), 10)
+    fi = np.asarray(fi)
+
+    def recall(n_probe):
+        _, vi = ivf.search(jnp.asarray(q), 10, n_probe=n_probe)
+        vi = np.asarray(vi)
+        return np.mean([
+            len(set(vi[i]) & set(fi[i])) / 10 for i in range(len(q))
+        ])
+
+    r1, r16 = recall(1), recall(16)
+    assert r16 >= r1
+    assert r16 >= 0.7
+
+
+@pytest.mark.parametrize("storage,code_size", [("sq8", 32), ("pq", 8)])
+def test_ivf_quantized_save_load(tmp_path, corpora, storage, code_size):
+    mesh, e, flat = corpora
+    ivf = ShardedIVFIndex.from_flat(flat, n_lists=16, n_probe=4, iters=5,
+                                    storage=storage, code_size=code_size)
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    v1, i1 = ivf.search(jnp.asarray(q), 8)
+    ivf.save(str(tmp_path / f"ivf_{storage}"))
+    ivf2 = ShardedIVFIndex.load(str(tmp_path / f"ivf_{storage}"), mesh)
+    assert ivf2.storage == storage
+    v2, i2 = ivf2.search(jnp.asarray(q), 8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_build_index_for_faiss_flags():
+    """--index_mode faiss --faiss_index_type X flag parity."""
+    from jsa_rag_tpu.config import Options
+    from jsa_rag_tpu.index import build_index_for
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 8)
+    opt = Options(index_mode="faiss", faiss_index_type="ivfpq",
+                  faiss_code_size=8)
+    idx = build_index_for(opt, 100, 32, mesh)
+    assert isinstance(idx, ShardedIVFIndex)
+    assert idx.storage == "pq" and idx.code_size == 8
+
+    opt2 = Options(index_mode="faiss", faiss_index_type="ivfsq")
+    assert build_index_for(opt2, 100, 32, mesh).storage == "sq8"
+
+    opt3 = Options(index_mode="faiss", faiss_index_type="flat")
+    assert isinstance(build_index_for(opt3, 100, 32, mesh),
+                      ShardedFlatIndex)
+
+    opt4 = Options(index_mode="faiss", faiss_index_type="pq",
+                   faiss_code_size=8)
+    idx4 = build_index_for(opt4, 100, 32, mesh)
+    assert idx4.storage == "pq" and idx4.n_probe == idx4.n_lists
+
+
 def test_ivf_save_load(tmp_path, corpora):
     mesh, e, flat = corpora
     ivf = ShardedIVFIndex.from_flat(flat, n_lists=16, n_probe=4, iters=5)

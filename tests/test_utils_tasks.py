@@ -311,12 +311,20 @@ def test_lora_base_not_decayed():
     assert labels2["retriever"]["query"]["w"] == "retr"
 
 
-def test_ivf_rejects_quantized_dtype():
+def test_ivf_int8_dtype_maps_to_sq8_storage():
+    """--index_dtype int8 + --index_mode ivf selects scalar-quantized
+    storage (the reference's ivfsq, src/index.py:309-352)."""
     from jsa_rag_tpu.index.ivf import ShardedIVFIndex
     from jsa_rag_tpu.parallel.mesh import make_mesh
 
+    idx = ShardedIVFIndex(make_mesh(1, 8), 100, 16, dtype=jnp.int8)
+    assert idx.storage == "sq8"
+
     with pytest.raises(ValueError):
-        ShardedIVFIndex(make_mesh(1, 8), 100, 16, dtype=jnp.int8)
+        ShardedIVFIndex(make_mesh(1, 8), 100, 16, storage="bogus")
+    with pytest.raises(ValueError):  # code_size must divide dim
+        ShardedIVFIndex(make_mesh(1, 8), 100, 16, storage="pq",
+                        code_size=5)
 
 
 def test_options_cli_parsing():
