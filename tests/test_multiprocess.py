@@ -1,0 +1,105 @@
+"""Two-process integration test (VERDICT r1 item 7): spawn two real
+``jax.distributed`` processes over localhost and drive the multi-process
+code paths that single-process tests cannot reach —
+``_pad_batches_across_processes`` with ragged per-process batch counts,
+``weighted_average`` / ``WeightedAvgStats.average_stats`` cross-process
+reduction, and ``save_distributed_dataset`` rank-merge (reference:
+evaluate.py:44-56, src/dist_utils.py:151-178, src/util.py:337-362)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address={coord!r},
+                           num_processes=2, process_id={pid})
+assert jax.process_count() == 2
+rank = jax.process_index()
+import numpy as np
+
+# 1. ragged batch padding: rank0 has 3 batches, rank1 has 1
+from jsa_rag_tpu.evaluation import (_pad_batches_across_processes,
+                                    save_distributed_dataset)
+local = [{{"query": [f"q{{rank}}-{{i}}"], "target": ["t"]}}
+         for i in range(3 if rank == 0 else 1)]
+padded = _pad_batches_across_processes(local)
+assert len(padded) == 3, len(padded)
+n_dummy = sum(1 for b in padded if b.get("__dummy__"))
+assert n_dummy == (0 if rank == 0 else 2), n_dummy
+
+# 2. weighted_average: rank0 (v=1, w=1), rank1 (v=3, w=3) -> 2.5 on BOTH
+from jsa_rag_tpu.utils.stats import WeightedAvgStats, weighted_average
+v, w = weighted_average(1.0 if rank == 0 else 3.0,
+                        1.0 if rank == 0 else 3.0)
+assert abs(v - 2.5) < 1e-9, v
+assert abs(w - 4.0) < 1e-9, w
+
+# 3. WeightedAvgStats cross-process averaging
+stats = WeightedAvgStats()
+stats.update({{"m": (float(rank), 2.0), "only0": (7.0, 1.0 if rank == 0
+                                                 else 0.0)}})
+avg = stats.average_stats
+assert abs(avg["m"] - 0.5) < 1e-9, avg
+
+# 4. save_distributed_dataset rank-merge with uneven row counts
+from jsa_rag_tpu.config import Options
+opt = Options(name="mp", checkpoint_dir={ckpt!r})
+rows = [{{"rank": rank, "i": i}} for i in range(2 if rank == 0 else 3)]
+save_distributed_dataset(rows, "preds", opt)
+
+print(f"WORKER{{rank}} OK")
+"""
+
+
+def test_two_process_eval_paths(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             WORKER.format(repo=REPO, coord=coord, pid=pid,
+                           ckpt=str(tmp_path))],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("two-process workers hung (collective desync)")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"WORKER{pid} OK" in out
+
+    # rank-merged prediction file: 2 rows from rank0 + 3 from rank1
+    merged = tmp_path / "mp" / "preds.jsonl"
+    assert merged.exists()
+    rows = [json.loads(l) for l in merged.read_text().splitlines()]
+    assert len(rows) == 5
+    assert sorted(r["rank"] for r in rows) == [0, 0, 1, 1, 1]
+    assert not (tmp_path / "mp" / "tmp_dir").exists()  # cleaned up
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
