@@ -293,14 +293,33 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
 
     gen_term = jnp.sum(probabilities * ce, axis=-1)  # (B,)
     if fns.contrastive:
-        # contrastive retriever objective (src/rag.py:2016-2032): expected
-        # log-softmax of the sampled candidates against negatives. Deviation:
-        # negatives are the other union candidates (already scored) rather
-        # than fresh random draws from the top-100 — same normalizer shape,
-        # no extra encoder forwards.
+        # contrastive retriever objective (src/rag.py:2016-2041): expected
+        # log-softmax of the sampled candidates against negatives. The
+        # normalizer is the union plus ``training_sample_num`` sampled
+        # negative passages when the batch carries them
+        # (neg_passage_ids, reference: src/rag.py:2023-2029); otherwise the
+        # other union candidates alone.
+        pl_all, po_all = prior_logits, post_logits
+        if "neg_passage_ids" in batch:
+            neg_prior = _embed_rows(r, params["retriever"],
+                                    batch["neg_passage_ids"],
+                                    batch["neg_passage_mask"],
+                                    is_passages=True)
+            neg_post = _embed_rows(r, params["post_retriever"],
+                                   batch["neg_passage_ids"],
+                                   batch["neg_passage_mask"],
+                                   is_passages=True)
+            pl_all = jnp.concatenate(
+                [prior_logits,
+                 _doc_scores(prior_q, neg_prior) / fns.temperature_jsa], -1)
+            po_all = jnp.concatenate(
+                [post_logits,
+                 _doc_scores(post_q, neg_post) / fns.temperature_jsa], -1)
         retr_term = (
-            jnp.sum(probabilities * jax.nn.log_softmax(prior_logits, -1), -1)
-            + jnp.sum(probabilities * jax.nn.log_softmax(post_logits, -1), -1)
+            jnp.sum(probabilities
+                    * jax.nn.log_softmax(pl_all, -1)[:, :u], -1)
+            + jnp.sum(probabilities
+                      * jax.nn.log_softmax(po_all, -1)[:, :u], -1)
         )
     elif fns.reduce_norm:
         # norm-control objective (src/rag.py:2042-2068): raw-score contrast

