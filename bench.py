@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: top-100 MIPS query throughput per chip.
 
-Measures the fused Pallas matmul+k-select kernel over a 1M-passage bf16
-index (d=768) on the local accelerator — the framework's hot retrieval path
-(BASELINE.md target: >10k top-100 queries/sec/chip). Prints ONE json line:
-{"metric", "value", "unit", "vs_baseline"}.
+Measures the fused Pallas matmul+k-select kernel over a 1.3M-passage bf16
+index at d=1024 — the flagship geometry: bge-large-en embeddings
+(src/index_io.py:92) and a v5e-16 shard of the 21M-passage corpus — on the
+local accelerator (BASELINE.md target: >10k top-100 queries/sec/chip).
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 Timing note: through the axon tunnel, per-call ``block_until_ready`` is
 unreliable and identical calls may be replayed from a cache, so iterations
@@ -30,8 +31,8 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        n = int(os.environ.get("BENCH_N", 1_000_000))
-        d, k = 768, 100
+        n = int(os.environ.get("BENCH_N", 1_300_000))
+        d, k = int(os.environ.get("BENCH_D", 1024)), 100
         b = int(os.environ.get("BENCH_B", 512))
         iters = int(os.environ.get("BENCH_ITERS", 8))
     else:  # CPU smoke fallback so the bench always emits a line

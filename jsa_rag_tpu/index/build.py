@@ -34,6 +34,7 @@ def build_index(
     passage_fmt: str = "{title} {text}",
     logger=None,
     prefetch: int = 4,
+    length_bucket: int = 64,
 ) -> dict:
     """Embed every passage and fill the index. Returns timing stats
     (iter_stats shape mirrors the reference's runtime/indexing timers,
@@ -43,6 +44,13 @@ def build_index(
     dispatch (device work is already async), so the sweep runs at
     max(tokenize, embed) rather than their sum — the reference's embed loop
     is fully serial (src/rag.py:108-121).
+
+    ``length_bucket``: each batch is sliced to its own max token length
+    rounded up to this multiple (0 disables). Wiki 100-word passages
+    tokenize to ~130-190 tokens, so this cuts the encoder FLOPs ~2.5x vs
+    the reference's pad-to-512 (encode_passages pads to max_length) at the
+    cost of one compile per occupied bucket — the decisive lever for the
+    <30-min full-corpus build target (BASELINE.md).
     """
     n = len(passages)
     t0 = time.time()
@@ -59,6 +67,11 @@ def build_index(
             pad = batch_size - (stop - start)
             ids = np.pad(ids, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
+        if length_bucket:
+            used = int(mask.sum(axis=1).max())
+            b_len = min(-(-max(used, 1) // length_bucket) * length_bucket,
+                        ids.shape[1])
+            ids, mask = ids[:, :b_len], mask[:, :b_len]
         return start, stop, ids, mask
 
     with ThreadPoolExecutor(max_workers=2) as ex:

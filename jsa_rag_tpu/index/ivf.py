@@ -117,6 +117,7 @@ class ShardedIVFIndex:
         self.clusters = None   # (C, cap, d|code_size) sharded on axis 0
         self.scales = None     # sq8: (C, cap) f32 per-row dequant scales
         self.codebooks = None  # pq: (m, 256, d/m) f32 replicated
+        self.pq_rotation = None  # pq: (d, d) orthonormal pretransform
         self.ids = None        # (C, cap) int32 sharded on axis 0
         self._search_fn = None
 
@@ -164,6 +165,7 @@ class ShardedIVFIndex:
             scales = jax.device_put(
                 jnp.zeros((self.n_lists, self.cap), jnp.float32), ids_spec)
         cb = self.codebooks
+        rot = self.pq_rotation
         cent_dev = jnp.asarray(centroids)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -175,9 +177,9 @@ class ShardedIVFIndex:
                 clusters = clusters.at[cid, p].set(v)
                 scales = scales.at[cid, p].set(sc[:, 0])
                 scales = jax.lax.with_sharding_constraint(scales, ids_spec)
-            else:  # pq: residual product-quantize against the coarse centroid
-                codes = _pq_encode(e_chunk - cent_dev[cid], cb)
-                clusters = clusters.at[cid, p].set(codes)
+            else:  # pq: rotated residuals against the coarse centroid
+                r = (e_chunk.astype(jnp.float32) - cent_dev[cid]) @ rot.T
+                clusters = clusters.at[cid, p].set(_pq_encode(r, cb))
             ids = ids.at[cid, p].set(gid)
             clusters = jax.lax.with_sharding_constraint(clusters, shard_spec)
             ids = jax.lax.with_sharding_constraint(ids, ids_spec)
@@ -198,13 +200,26 @@ class ShardedIVFIndex:
     def _train_codebooks(self, emb, assign, centroids, key, iters) -> None:
         """256-entry L2 k-means codebooks per subvector, trained on a sample
         of coarse residuals (FAISS trains PQ on a corpus sample too,
-        src/index.py:367-389 chunked training)."""
+        src/index.py:367-389 chunked training).
+
+        Residuals pass through a fixed random orthonormal rotation first
+        (FAISS's RandomRotationMatrix pretransform / OPQ-lite): real
+        embedding spectra decay steeply, so without it the first subvectors
+        hog the variance and the rest encode nothing. Rotation preserves
+        inner products — search rotates the query once and scores decoded
+        rotated residuals: q·r = (Rq)·(Rr)."""
         n = emb.shape[0]
         m, ds = self.code_size, self.dim // self.code_size
+        key, rkey = jax.random.split(key)
+        rot = jnp.linalg.qr(
+            jax.random.normal(rkey, (self.dim, self.dim), jnp.float32))[0]
+        self.pq_rotation = jax.device_put(
+            rot, NamedSharding(self.mesh, P()))
         sample_n = min(n, 65536)
         sample = np.linspace(0, n - 1, sample_n).astype(np.int64)
         res = (jnp.asarray(emb)[sample]
                - jnp.asarray(centroids)[np.asarray(assign)[sample]])
+        res = res.astype(jnp.float32) @ rot.T
         n_codes = min(256, sample_n)
         books = []
         for j, k_j in enumerate(jax.random.split(key, m)):
@@ -257,7 +272,7 @@ class ShardedIVFIndex:
         if self.storage == "sq8":
             extra = (self.scales,)
         elif self.storage == "pq":
-            extra = (self.codebooks,)
+            extra = (self.codebooks, self.pq_rotation)
         return fn(jnp.asarray(queries, jnp.float32), self.centroids,
                   self.clusters, self.ids, *extra)
 
@@ -277,6 +292,11 @@ class ShardedIVFIndex:
             c_scores = jax.lax.dot_general(
                 q, centroids, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (B, C)
+            if storage == "pq":
+                # rotate queries once: q·r = (Rq)·(Rr), codes encode Rr
+                q_rot = jax.lax.dot_general(
+                    q, extra[1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             _, probed = jax.lax.top_k(c_scores, n_probe)  # (B, n_probe)
             sel = jnp.unique(probed.reshape(-1), size=n_sel, fill_value=-1)
 
@@ -307,7 +327,7 @@ class ShardedIVFIndex:
                 else:  # pq: decode-and-matmul; coarse term from the probe
                     rec = _pq_decode(clusters_local[cid], extra[0])
                     s = jax.lax.dot_general(
-                        q, rec, (((1,), (1,)), ((), ())),
+                        q_rot, rec, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     s = s + jax.lax.dynamic_index_in_dim(
                         c_scores, jnp.maximum(gcid, 0), axis=1,
@@ -332,7 +352,7 @@ class ShardedIVFIndex:
         if storage == "sq8":
             extra_specs = (P(AXES.all, None),)   # scales sharded with rows
         elif storage == "pq":
-            extra_specs = (P(),)                 # codebooks replicated
+            extra_specs = (P(), P())             # codebooks + rotation repl.
         mapped = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), P(), P(AXES.all, None, None), P(AXES.all, None))
@@ -360,6 +380,8 @@ class ShardedIVFIndex:
         elif self.storage == "pq":
             np.save(os.path.join(path, "codebooks.npy"),
                     np.asarray(jax.device_get(self.codebooks)))
+            np.save(os.path.join(path, "pq_rotation.npy"),
+                    np.asarray(jax.device_get(self.pq_rotation)))
         meta = {"n_passages": self.n_passages, "dim": self.dim,
                 "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
                 "n_lists": self.n_lists, "n_probe": self.n_probe,
@@ -401,5 +423,8 @@ class ShardedIVFIndex:
         elif idx.storage == "pq":
             idx.codebooks = jax.device_put(
                 jnp.asarray(np.load(os.path.join(path, "codebooks.npy"))),
+                NamedSharding(mesh, P()))
+            idx.pq_rotation = jax.device_put(
+                jnp.asarray(np.load(os.path.join(path, "pq_rotation.npy"))),
                 NamedSharding(mesh, P()))
         return idx

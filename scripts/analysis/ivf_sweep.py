@@ -1,0 +1,131 @@
+"""Recall-vs-nprobe sweep for the IVF storage modes at equal HBM vs flat
+(VERDICT r1 item 5 "done" criterion; reference flagship: ivfpq code_size 32,
+egs/NaturalQuestion/JSA/run-jsa-nq-no-rebuild.sh:56-57).
+
+Builds a clustered synthetic corpus (realistic embedding geometry: L2-normed,
+cluster structure like sentence encoders produce), then sweeps n_probe for
+each storage mode and reports recall@k against the exact flat search plus
+bytes/vector. Run on CPU for recall; pair with bench.py on TPU for qps.
+
+Usage: python scripts/analysis/ivf_sweep.py [--n 200000] [--d 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import numpy as np
+
+
+def make_corpus(n: int, d: int, n_clusters: int, seed: int = 0,
+                noise: float = 0.25, spectrum: float = 0.0):
+    """Clustered synthetic corpus. ``spectrum`` > 0 applies a power-law
+    variance decay (i+1)^-spectrum per dimension — real sentence-encoder
+    embeddings concentrate energy in a few hundred directions; isotropic
+    noise is the pathological worst case for product quantization."""
+    rng = np.random.default_rng(seed)
+    w = ((np.arange(d) + 1.0) ** -spectrum).astype(np.float32) \
+        if spectrum else np.ones(d, np.float32)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * w
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    e = centers[assign] + noise * w * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    return e
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--clusters", type=int, default=256)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--code_size", type=int, default=32)
+    ap.add_argument("--n_lists", type=int, default=0)
+    ap.add_argument("--noise", type=float, default=0.25,
+                    help="cluster tightness; lower = more near-duplicate "
+                         "neighborhoods (harder for quantized ranking)")
+    ap.add_argument("--spectrum", type=float, default=0.5,
+                    help="per-dim power-law variance decay; 0 = isotropic "
+                         "(PQ worst case)")
+    ap.add_argument("--rerank_factor", type=int, default=4,
+                    help="pq+rerank row: oversample factor before exact "
+                         "rescoring (the framework's retrieve_with_rerank "
+                         "path, reference src/rag.py:177-247)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # a sitecustomize may force another platform; re-assert in-process
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    from jsa_rag_tpu.index.ivf import ShardedIVFIndex, auto_n_lists
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, jax.device_count())
+    e = make_corpus(args.n, args.d, args.clusters, noise=args.noise,
+                    spectrum=args.spectrum)
+    rng = np.random.default_rng(1)
+    q = e[rng.integers(0, args.n, args.queries)] \
+        + 0.05 * rng.standard_normal((args.queries, args.d)).astype(
+            np.float32)
+
+    flat = ShardedFlatIndex(mesh, args.n, args.d, dtype=jnp.float32,
+                            method="exact")
+    for s in range(0, args.n, 65536):
+        flat.set_embeddings(s, e[s:s + 65536])
+    _, fi = flat.search(jnp.asarray(q), args.k)
+    fi = np.asarray(fi)
+    gold = [set(row) for row in fi]
+
+    n_lists = args.n_lists or auto_n_lists(args.n)
+    rows = []
+    for storage, bpv in [("dense", 2 * args.d),     # bf16
+                         ("sq8", args.d + 4),       # int8 + f32 scale
+                         ("pq", args.code_size)]:
+        ivf = ShardedIVFIndex.from_flat(
+            flat, n_lists=n_lists, storage=storage,
+            code_size=args.code_size, iters=8)
+        for n_probe in (1, 4, 16, 64, min(256, n_lists)):
+            _, vi = ivf.search(jnp.asarray(q), args.k, n_probe=n_probe)
+            vi = np.asarray(vi)
+            rec = float(np.mean([
+                len(set(row) & g) / args.k for row, g in zip(vi, gold)]))
+            rows.append({"storage": storage, "bytes_per_vec": bpv,
+                         "n_probe": n_probe, "n_lists": n_lists,
+                         f"recall@{args.k}": round(rec, 4)})
+            print(json.dumps(rows[-1]), flush=True)
+        if storage == "pq" and args.rerank_factor > 1:
+            # quality-recovery path: PQ generates rerank_factor*k candidates,
+            # exact scores re-rank them (= the framework's
+            # retrieve_with_rerank; FAISS's IVFPQ+refine)
+            n_probe = min(256, n_lists)
+            _, cand = ivf.search(jnp.asarray(q), args.rerank_factor * args.k,
+                                 n_probe=n_probe)
+            cand = np.asarray(cand)
+            exact = np.einsum("bd,bkd->bk", q, e[cand])
+            order = np.argsort(-exact, axis=1)[:, :args.k]
+            vi = np.take_along_axis(cand, order, axis=1)
+            rec = float(np.mean([
+                len(set(row) & g) / args.k for row, g in zip(vi, gold)]))
+            rows.append({"storage": f"pq+rerank{args.rerank_factor}x",
+                         "bytes_per_vec": bpv, "n_probe": n_probe,
+                         "n_lists": n_lists,
+                         f"recall@{args.k}": round(rec, 4)})
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

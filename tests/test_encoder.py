@@ -145,3 +145,32 @@ def test_embed_build_search_end_to_end(mesh_flat):
     qemb = ret.embed_queries(params, jnp.array(qids), jnp.array(qmask))
     _, ids = index.search(qemb, 5)
     assert np.asarray(ids)[:, 0].tolist() == [3, 17, 42]
+
+
+def test_build_index_length_bucketing(mesh_flat):
+    """Length bucketing must not change the embeddings: queries at full pad
+    length still match passages embedded at bucketed lengths (right padding
+    is mask-invariant)."""
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    from jsa_rag_tpu.index.build import build_index, make_encode_fn
+
+    tok = SimpleTokenizer(max_vocab=2000)
+    store = PassageStore.synthetic(48, seed=1)
+    cfg = RetrieverConfig(
+        bert=BertConfig(vocab_size=2000, hidden=32, layers=2, heads=4,
+                        intermediate=64, max_positions=128,
+                        pooling="mean_norm"),
+        tied=True)
+    ret = DualEncoderRetriever(cfg)
+    params = ret.init(jax.random.PRNGKey(0))
+    encode = make_encode_fn(ret)
+
+    embs = {}
+    for bucket in (0, 16):
+        index = ShardedFlatIndex(mesh_flat, len(store), 32,
+                                 dtype=jnp.float32, method="exact")
+        build_index(index, store, lambda i, m: encode(params, i, m), tok,
+                    batch_size=16, max_length=128, length_bucket=bucket)
+        embs[bucket] = np.asarray(index.embeddings_as_float())
+    # synthetic passages are ~8 tokens: bucketed build runs at S=16, not 128
+    np.testing.assert_allclose(embs[16], embs[0], atol=1e-5)
