@@ -69,6 +69,22 @@ def test_evaluate_produces_metrics_and_predictions(eval_setup):
     assert {"query", "generation", "answers", "passages"} <= set(rows[0])
 
 
+def test_evaluate_with_beam_search(eval_setup):
+    """The eval harness runs end-to-end with generation_num_beams > 1
+    (the reference's live eval path, src/rag.py:2247-2258)."""
+    model, index, params, opt, data_path = eval_setup
+    opt.generation_num_beams = 3
+    opt.generation_length_penalty = 1.1
+    opt.generation_min_length = 1
+    try:
+        metrics = evaluate(model, index, params, opt, data_path)
+        assert np.isfinite(metrics["eval_loss"])
+        assert "exact_match" in metrics
+    finally:
+        opt.generation_num_beams = 1
+        opt.generation_min_length = None
+
+
 def test_run_retrieval_only(eval_setup):
     model, index, params, opt, data_path = eval_setup
     metrics = run_retrieval_only(model, index, params, opt, data_path)
