@@ -24,7 +24,8 @@ def main():
     import jax.numpy as jnp
 
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
-    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2
+    from jsa_rag_tpu.ops.mips_pallas2 import (mips_topk_pallas2,
+                                              mips_topk_pallas2_t)
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
     import os
@@ -46,19 +47,32 @@ def main():
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
         return e.astype(jnp.bfloat16)
 
+    @jax.jit
+    def make_index_t(key):
+        # (d, N) contraction-major, tile-aligned with a runtime valid count
+        # — the production dense flat layout (ShardedFlatIndex transposed
+        # storage); pre-padding here keeps the in-search pad a no-op
+        et = make_index(key).T
+        n_pad = -(-n // 2048) * 2048
+        return jnp.pad(et, ((0, 0), (0, n_pad - n)))
+
     e = make_index(jax.random.PRNGKey(0))
+    et = make_index_t(jax.random.PRNGKey(0))
     jax.block_until_ready(e)
+    jax.block_until_ready(et)
     rng = np.random.default_rng(0)
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
           for _ in range(iters)]
 
     tq = 256 if b >= 256 else 128
     methods = {
+        "pallas2t": lambda q: mips_topk_pallas2_t(q, et, k, tile_q=tq,
+                                                  valid_n=n),
         "pallas2": lambda q: mips_topk_pallas2(q, e, k, tile_q=tq),
         "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
         "pallas": lambda q: mips_topk_pallas(q, e, k),
     }
-    pin = os.environ.get("BENCH_METHOD", "pallas2" if on_tpu else None)
+    pin = os.environ.get("BENCH_METHOD", "pallas2t" if on_tpu else None)
     if pin:
         methods = {pin: methods[pin]}
     if not on_tpu:

@@ -33,14 +33,15 @@ def build_index(
     max_length: int = 256,
     passage_fmt: str = "{title} {text}",
     logger=None,
-    prefetch: int = 4,
+    prefetch: int = 2,
     length_bucket: int = 64,
+    sort_window: int = 8,
 ) -> dict:
     """Embed every passage and fill the index. Returns timing stats
     (iter_stats shape mirrors the reference's runtime/indexing timers,
     src/rag.py:156-170).
 
-    Host tokenization is pipelined ``prefetch`` batches ahead of device
+    Host tokenization is pipelined ``prefetch`` windows ahead of device
     dispatch (device work is already async), so the sweep runs at
     max(tokenize, embed) rather than their sum — the reference's embed loop
     is fully serial (src/rag.py:108-121).
@@ -51,41 +52,67 @@ def build_index(
     the reference's pad-to-512 (encode_passages pads to max_length) at the
     cost of one compile per occupied bucket — the decisive lever for the
     <30-min full-corpus build target (BASELINE.md).
+
+    ``sort_window``: tokenize ``sort_window`` batches at a time and order
+    rows by token count before batching, so each batch's bucket tracks its
+    own neighborhood's length instead of the window max (classic
+    length-sorted batching). Embeddings are un-permuted on device (one
+    gather) before the contiguous scatter, so index row order is unchanged.
+    1 disables sorting (batch == window).
     """
     n = len(passages)
     t0 = time.time()
-    spans = [(s, min(s + batch_size, n)) for s in range(0, n, batch_size)]
+    window = batch_size * max(sort_window, 1)
+    spans = [(s, min(s + window, n)) for s in range(0, n, window)]
 
-    def tokenize_span(span):
+    def tokenize_window(span):
         start, stop = span
         texts = [
             format_passage(passages[i], passage_fmt)
             for i in range(start, stop)
         ]
         ids, mask = tokenizer.encode_batch(texts, max_length)
-        if stop - start < batch_size:  # static shapes for the jitted encode
-            pad = batch_size - (stop - start)
+        n_batches = -(-(stop - start) // batch_size)
+        n_rows = n_batches * batch_size
+        if stop - start < n_rows:  # static shapes for the jitted encode
+            pad = n_rows - (stop - start)
             ids = np.pad(ids, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
-        if length_bucket:
-            used = int(mask.sum(axis=1).max())
-            b_len = min(-(-max(used, 1) // length_bucket) * length_bucket,
-                        ids.shape[1])
-            ids, mask = ids[:, :b_len], mask[:, :b_len]
-        return start, stop, ids, mask
+        counts = mask.sum(axis=1)
+        # stable sort keeps original order within equal lengths; pad rows
+        # (count 0) sort first and are dropped by the tail slice after the
+        # on-device unsort (they sit at original positions >= stop-start)
+        order = np.argsort(counts, kind="stable")
+        inv = np.argsort(order)
+        batches = []
+        for j in range(n_batches):
+            rows = order[j * batch_size:(j + 1) * batch_size]
+            b_ids, b_mask = ids[rows], mask[rows]
+            if length_bucket:
+                used = int(counts[rows].max())
+                b_len = min(
+                    -(-max(used, 1) // length_bucket) * length_bucket,
+                    ids.shape[1])
+                b_ids, b_mask = b_ids[:, :b_len], b_mask[:, :b_len]
+            batches.append((b_ids, b_mask))
+        return start, stop, batches, inv
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         futures = []
         for span in spans[:prefetch]:
-            futures.append(ex.submit(tokenize_span, span))
+            futures.append(ex.submit(tokenize_window, span))
         next_submit = prefetch
         for _ in range(len(spans)):
-            start, stop, ids, mask = futures.pop(0).result()
+            start, stop, batches, inv = futures.pop(0).result()
             if next_submit < len(spans):
-                futures.append(ex.submit(tokenize_span, spans[next_submit]))
+                futures.append(ex.submit(tokenize_window, spans[next_submit]))
                 next_submit += 1
-            emb = encode_fn(jnp.asarray(ids), jnp.asarray(mask))
-            index.set_embeddings(start, emb[: stop - start])
+            embs = tuple(
+                encode_fn(jnp.asarray(ids), jnp.asarray(mask))
+                for ids, mask in batches
+            )
+            block = _unsort_rows(embs, jnp.asarray(inv, jnp.int32))
+            index.set_embeddings(start, block[: stop - start])
     if hasattr(index, "finalize"):
         # coarse-quantized indexes cluster after the embed sweep (the
         # reference trains FAISS post-fill, src/rag.py:122-130)
@@ -97,6 +124,13 @@ def build_index(
         "runtime/indexing": (total, 1),
         "indexing/passages_per_sec": (n / max(total, 1e-9), 1),
     }
+
+
+@jax.jit
+def _unsort_rows(blocks: tuple, inv: jax.Array) -> jax.Array:
+    """Concat a window's sorted embed batches and restore original row
+    order (inverse of the tokenize-time length sort)."""
+    return jnp.concatenate(blocks, axis=0)[inv]
 
 
 def make_encode_fn(retriever):

@@ -7,15 +7,21 @@ all_gather(queries) -> local matmul+topk -> route results -> merge-topk, with
 passage dicts pickled through NCCL (src/index.py:34-41) — an anti-pattern we
 deliberately do not reproduce. Here:
 
-- the passage-embedding matrix is ONE logical ``jax.Array`` of shape (N, d),
-  row-sharded over every device of the mesh (both ``data`` and ``index`` axes);
+- the passage-embedding matrix is ONE logical ``jax.Array``, sharded over
+  every device of the mesh (both ``data`` and ``index`` axes). Dense storage
+  (bf16/f32) is kept **contraction-major** — ``(d, N)``, column-sharded —
+  matching the reference's own (dim, N_local) convention (src/index.py:52):
+  on TPU the MXU consumes it directly, measured 1.6x faster than a row-major
+  (N, d) layout at flagship geometry (the row-major rhs forces a VMEM
+  relayout every kernel tile). Quantized storage (int8, fp16-bits) stays
+  row-major (N, d) for its per-row scale/decode kernels;
 - search runs under ``shard_map``: each device computes a fused MIPS top-k on
   its shard (Pallas kernel on TPU), then a single ``all_gather`` of the tiny
   (B, k) candidate lists over ICI and an on-device top-k-of-top-k merge;
 - only int32 *global passage ids* leave the device program; id -> passage text
   resolution is host-side (see ``jsa_rag_tpu.data.passages``).
 
-The index is mutable in place (``update_shard``) so the training loop can
+The index is mutable in place (``set_embeddings``) so the training loop can
 re-embed the corpus with live retriever weights and refresh shards without
 leaving the program (reference punts this to an HTTP/gRPC server:
 build_server/server_start.py, src/post.py).
@@ -37,32 +43,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import mips
 from ..parallel.mesh import AXES
+from ._npio import np_load, np_save
 
 NEG_INF = float(np.finfo(np.float32).min)
 
 
 def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
-                      shard_rows, n_padded, method, axes):
+                      shard_rows, n_padded, method, axes, transposed):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
-    this device's (shard_rows, d) block of the global (N_pad, d) matrix.
+    this device's block of the global matrix — (d, shard_rows) when the
+    storage is transposed (dense), (shard_rows, d) otherwise.
 
     Padding rows (global id >= n_true) are zero vectors; they score 0 and can
     displace valid negative-score candidates from a shard's local top-k, so
     the local k is widened by the worst-case per-shard pad count before the
     post-hoc mask — this keeps the merged global top-k exact.
     """
-    max_pads = min(shard_rows, n_padded - n_true)
-    k_local = min(shard_rows, k + max_pads)
-    if scales_shard is not None:
-        from ..ops.mips_pallas2 import mips_topk_pallas2_int8
-
-        scores, local_idx = mips_topk_pallas2_int8(q, emb_shard,
-                                                   scales_shard, k_local)
-    else:
-        scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
-                                           method=method)
-    # flat position of this device's shard among all index shards
     shard_pos = jax.lax.axis_index(axes)
+    if transposed:
+        # the kernel masks the shard's pad columns itself via the runtime
+        # valid count (no zero-score pads can displace candidates, so no
+        # k widening; storage is tile-aligned so no in-search pad copy)
+        n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)
+        scores, local_idx = mips.mips_topk_t(q, emb_shard,
+                                             min(shard_rows, k),
+                                             method=method, valid_n=n_valid)
+    else:
+        max_pads = min(shard_rows, n_padded - n_true)
+        k_local = min(shard_rows, k + max_pads)
+        if scales_shard is not None:
+            from ..ops.mips_pallas2 import mips_topk_pallas2_int8
+
+            scores, local_idx = mips_topk_pallas2_int8(q, emb_shard,
+                                                       scales_shard, k_local)
+        else:
+            scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
+                                               method=method)
+    # flat position of this device's shard among all index shards
     gidx = local_idx + shard_pos * shard_rows
     scores = jnp.where((gidx >= 0) & (gidx < n_true), scores, NEG_INF)
     # gather every device's k_local candidates and merge: (B, W*k_local)
@@ -94,24 +111,41 @@ class ShardedFlatIndex:
         # reference-parity fp16 memory (src/index.py:52) at pallas speed.
         # int8 is per-row scalar quantization (FAISS ivfsq/pq storage
         # capability, src/index.py:309-352): 1 byte/element + f32 row scale.
-        self.store_f16_bits = jnp.dtype(dtype) == jnp.float16
+        # int16 means raw half bits too (that is the stored dtype, e.g. when
+        # reloading a saved/converted fp16 index whose meta records int16)
+        self.store_f16_bits = jnp.dtype(dtype) in (jnp.float16, jnp.int16)
         self.store_int8 = jnp.dtype(dtype) == jnp.int8
         self.dtype = jnp.int16 if self.store_f16_bits else dtype
+        # dense storage is contraction-major (d, N); quantized row-major
+        self.transposed = not (self.store_f16_bits or self.store_int8)
         self.method = method
         self.n_passages = n_passages
         self.n_shards = mesh.devices.size
-        self.shard_rows = int(
-            math.ceil(n_passages / self.n_shards / 8) * 8
-        )
+        # transposed dense shards are aligned to the pallas tile (2048 cols)
+        # once they exceed one tile, so the fused kernel never has to
+        # re-pad (= copy) the index inside the search program; the runtime
+        # valid_n scalar masks the over-allocation. Small/quantized shards
+        # keep the minimal 8-row alignment.
+        base = int(math.ceil(n_passages / self.n_shards / 8) * 8)
+        align = 2048 if (self.transposed and base >= 2048) else 8
+        self.shard_rows = int(math.ceil(n_passages / self.n_shards / align)
+                              * align)
         self.n_padded = self.shard_rows * self.n_shards
-        self.sharding = NamedSharding(mesh, P(AXES.all, None))
+        if self.transposed:
+            self.sharding = NamedSharding(mesh, P(None, AXES.all))
+            shape = (dim, self.n_padded)
+        else:
+            self.sharding = NamedSharding(mesh, P(AXES.all, None))
+            shape = (self.n_padded, dim)
         self.embeddings = jax.device_put(
-            jnp.zeros((self.n_padded, dim), dtype=self.dtype), self.sharding
+            jnp.zeros(shape, dtype=self.dtype), self.sharding
         )
         self.scales = None
+        self.scale_sharding = NamedSharding(mesh, P(AXES.all, None))
         if self.store_int8:
             self.scales = jax.device_put(
-                jnp.zeros((self.n_padded, 1), jnp.float32), self.sharding)
+                jnp.zeros((self.n_padded, 1), jnp.float32),
+                self.scale_sharding)
         self._search_fn = None
 
     # ------------------------------------------------------------------ build
@@ -123,13 +157,23 @@ class ShardedFlatIndex:
         dynamic_update_slice per shard (reference analogue:
         src/rag.py:118-121 writing ``index.embeddings[:, a:b]``).
         """
-        block, scale = self.encode_block(block)
+        self.embeddings, self.scales = self.write_block(
+            self.embeddings, self.scales, start, block)
+
+    def write_block(self, buf_emb, buf_scale, start: int, block_rows):
+        """Storage-transform + write a float row block into ``buf_emb`` (and
+        ``buf_scale`` for int8) at row ``start``; returns the updated
+        buffers. Single write primitive shared by ``set_embeddings`` and the
+        double-buffered incremental refresh."""
+        block, scale = self.encode_block(block_rows)
         if scale is not None:
-            self.scales = _update_rows(self.scales, scale, start,
-                                       self.sharding)
-        self.embeddings = _update_rows(
-            self.embeddings, block, start, self.sharding
-        )
+            buf_scale = _update_rows(buf_scale, scale, start,
+                                     self.scale_sharding)
+        if self.transposed:
+            buf_emb = _update_cols(buf_emb, block, start, self.sharding)
+        else:
+            buf_emb = _update_rows(buf_emb, block, start, self.sharding)
+        return buf_emb, buf_scale
 
     def encode_block(self, block) -> tuple[jax.Array, jax.Array | None]:
         """Storage transform for a float row block: -> (stored rows,
@@ -169,9 +213,12 @@ class ShardedFlatIndex:
                 n_padded=self.n_padded,
                 method=self.method,
                 axes=AXES.all,
+                transposed=self.transposed,
             )
             if self.store_int8:
                 in_specs = (P(), P(AXES.all, None), P(AXES.all, None))
+            elif self.transposed:
+                in_specs = (P(), P(None, AXES.all))
             else:
                 in_specs = (P(), P(AXES.all, None))
             mapped = shard_map(
@@ -188,20 +235,25 @@ class ShardedFlatIndex:
     def save(self, path: str, n_files: int = 16) -> None:
         """Save embeddings in ``n_files`` numpy shards + a meta json.
 
-        Mirrors the reference's ``save_index`` sharded-file format contract
-        (src/index.py:62-88): reloadable under any worker count dividing the
-        shard count.
+        The on-disk format is row-major (N, d) regardless of the in-HBM
+        layout, mirroring the reference's ``save_index`` sharded-file
+        contract (src/index.py:62-88): reloadable under any worker count
+        dividing the shard count.
         """
         os.makedirs(path, exist_ok=True)
-        host = np.asarray(jax.device_get(self.embeddings))[: self.n_passages]
+        host = np.asarray(jax.device_get(self.embeddings))
+        if self.transposed:
+            host = np.ascontiguousarray(host[:, : self.n_passages].T)
+        else:
+            host = host[: self.n_passages]
         rows = np.array_split(host, n_files, axis=0)
         for i, r in enumerate(rows):
-            np.save(os.path.join(path, f"embeddings.{i}.npy"), r)
+            np_save(os.path.join(path, f"embeddings.{i}.npy"), r)
         if self.store_int8:
             scales = np.asarray(
                 jax.device_get(self.scales))[: self.n_passages]
             for i, r in enumerate(np.array_split(scales, n_files, axis=0)):
-                np.save(os.path.join(path, f"scales.{i}.npy"), r)
+                np_save(os.path.join(path, f"scales.{i}.npy"), r)
         meta = {
             "n_passages": self.n_passages,
             "dim": self.dim,
@@ -225,18 +277,22 @@ class ShardedFlatIndex:
                   dtype=jnp.dtype(meta["dtype"]), method=method)
         start = 0
         for i in range(meta["n_files"]):
-            block = np.load(os.path.join(path, f"embeddings.{i}.npy"))
-            idx.embeddings = _update_rows(
-                idx.embeddings, jnp.asarray(block, idx.dtype), start,
-                idx.sharding)
+            block = np_load(os.path.join(path, f"embeddings.{i}.npy"), idx.dtype)
+            raw = jnp.asarray(block, idx.dtype)
+            if idx.transposed:
+                idx.embeddings = _update_cols(idx.embeddings, raw, start,
+                                              idx.sharding)
+            else:
+                idx.embeddings = _update_rows(idx.embeddings, raw, start,
+                                              idx.sharding)
             if meta.get("store_int8"):
-                scale = np.load(os.path.join(path, f"scales.{i}.npy"))
+                scale = np_load(os.path.join(path, f"scales.{i}.npy"))
                 if idx.scales is None:
                     idx.scales = jax.device_put(
                         jnp.zeros((idx.n_padded, 1), jnp.float32),
-                        idx.sharding)
+                        idx.scale_sharding)
                 idx.scales = _update_rows(idx.scales, jnp.asarray(scale),
-                                          start, idx.sharding)
+                                          start, idx.scale_sharding)
             start += block.shape[0]
         assert start == meta["n_passages"]
         idx.store_int8 = bool(meta.get("store_int8", False))
@@ -244,8 +300,10 @@ class ShardedFlatIndex:
         return idx
 
     def embeddings_as_float(self) -> jax.Array:
-        """Stored rows decoded to f32 (bits/quantized storage included) —
-        used by IVF training and analysis paths."""
+        """Stored rows decoded to row-major f32 (bits/quantized/transposed
+        storage included) — used by IVF training and analysis paths."""
+        if self.transposed:
+            return self.embeddings[:, : self.n_passages].T.astype(jnp.float32)
         e = self.embeddings[: self.n_passages]
         if self.store_f16_bits or e.dtype == jnp.int16:
             return jax.lax.bitcast_convert_type(
@@ -267,5 +325,15 @@ class ShardedFlatIndex:
 def _update_rows(emb, block, start, sharding):
     out = jax.lax.dynamic_update_slice(
         emb, block, (start, jnp.int32(0))
+    )
+    return jax.lax.with_sharding_constraint(out, sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("sharding",), donate_argnums=(0,))
+def _update_cols(emb, block_rows, start, sharding):
+    """Write a (rows, d) float block into columns [start, start+rows) of the
+    (d, N) transposed storage (the transpose fuses into the update)."""
+    out = jax.lax.dynamic_update_slice(
+        emb, block_rows.T.astype(emb.dtype), (jnp.int32(0), start)
     )
     return jax.lax.with_sharding_constraint(out, sharding)

@@ -53,6 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.kmeans import kmeans
 from ..ops.mips_pallas2 import quantize_int8
 from ..parallel.mesh import AXES
+from ._npio import np_load, np_save
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -365,22 +366,22 @@ class ShardedIVFIndex:
     # -------------------------------------------------------------- save/load
     def save(self, path: str, n_files: int = 8) -> None:
         os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "centroids.npy"),
+        np_save(os.path.join(path, "centroids.npy"),
                 np.asarray(jax.device_get(self.centroids)))
         clusters = np.asarray(jax.device_get(self.clusters))
         ids = np.asarray(jax.device_get(self.ids))
         for i, (cb, ib) in enumerate(zip(
                 np.array_split(clusters, n_files),
                 np.array_split(ids, n_files))):
-            np.save(os.path.join(path, f"clusters.{i}.npy"), cb)
-            np.save(os.path.join(path, f"ids.{i}.npy"), ib)
+            np_save(os.path.join(path, f"clusters.{i}.npy"), cb)
+            np_save(os.path.join(path, f"ids.{i}.npy"), ib)
         if self.storage == "sq8":
-            np.save(os.path.join(path, "scales.npy"),
+            np_save(os.path.join(path, "scales.npy"),
                     np.asarray(jax.device_get(self.scales)))
         elif self.storage == "pq":
-            np.save(os.path.join(path, "codebooks.npy"),
+            np_save(os.path.join(path, "codebooks.npy"),
                     np.asarray(jax.device_get(self.codebooks)))
-            np.save(os.path.join(path, "pq_rotation.npy"),
+            np_save(os.path.join(path, "pq_rotation.npy"),
                     np.asarray(jax.device_get(self.pq_rotation)))
         meta = {"n_passages": self.n_passages, "dim": self.dim,
                 "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
@@ -401,13 +402,13 @@ class ShardedIVFIndex:
                   code_size=meta.get("code_size", 32))
         idx.cap = meta["cap"]
         clusters = np.concatenate(
-            [np.load(os.path.join(path, f"clusters.{i}.npy"))
+            [np_load(os.path.join(path, f"clusters.{i}.npy"))
              for i in range(meta["n_files"])])
         ids = np.concatenate(
-            [np.load(os.path.join(path, f"ids.{i}.npy"))
+            [np_load(os.path.join(path, f"ids.{i}.npy"))
              for i in range(meta["n_files"])])
         idx.centroids = jax.device_put(
-            jnp.asarray(np.load(os.path.join(path, "centroids.npy"))),
+            jnp.asarray(np_load(os.path.join(path, "centroids.npy"))),
             NamedSharding(mesh, P()))
         store_dtype = {"dense": idx.dtype, "sq8": jnp.int8,
                        "pq": jnp.uint8}[idx.storage]
@@ -418,13 +419,13 @@ class ShardedIVFIndex:
             jnp.asarray(ids), NamedSharding(mesh, P(AXES.all, None)))
         if idx.storage == "sq8":
             idx.scales = jax.device_put(
-                jnp.asarray(np.load(os.path.join(path, "scales.npy"))),
+                jnp.asarray(np_load(os.path.join(path, "scales.npy"))),
                 NamedSharding(mesh, P(AXES.all, None)))
         elif idx.storage == "pq":
             idx.codebooks = jax.device_put(
-                jnp.asarray(np.load(os.path.join(path, "codebooks.npy"))),
+                jnp.asarray(np_load(os.path.join(path, "codebooks.npy"))),
                 NamedSharding(mesh, P()))
             idx.pq_rotation = jax.device_put(
-                jnp.asarray(np.load(os.path.join(path, "pq_rotation.npy"))),
+                jnp.asarray(np_load(os.path.join(path, "pq_rotation.npy"))),
                 NamedSharding(mesh, P()))
         return idx

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.passages import format_passage
-from .flat import ShardedFlatIndex, _update_rows
+from .flat import ShardedFlatIndex
 
 logger = logging.getLogger(__name__)
 
@@ -92,12 +92,9 @@ class IncrementalIndexRefresher:
                 ids = np.pad(ids, ((0, bs - (stop - start)), (0, 0)))
                 mask = np.pad(mask, ((0, bs - (stop - start)), (0, 0)))
             emb = self._encode(tower, jnp.asarray(ids), jnp.asarray(mask))
-            block, scale = idx.encode_block(emb[: stop - start])
-            if scale is not None:
-                self._staging_scales = _update_rows(
-                    self._staging_scales, scale, start, idx.sharding)
-            self._staging = _update_rows(self._staging, block, start,
-                                         idx.sharding)
+            self._staging, self._staging_scales = idx.write_block(
+                self._staging, self._staging_scales, start,
+                emb[: stop - start])
             self._cursor = stop
         if self._cursor >= idx.n_passages:
             # atomic swap: the staging buffer becomes the live index

@@ -153,6 +153,97 @@ def _next_multiple(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "approx", "recall_target")
+)
+def mips_topk_xla_t(
+    queries: jax.Array,       # (B, d)
+    embeddings_t: jax.Array,  # (d, N) contraction-major
+    k: int,
+    chunk: int = 16384,
+    approx: bool = False,
+    recall_target: float = 0.99,
+    valid_n: jax.Array | int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact/approx top-k over a transposed (d, N) index — the XLA
+    counterpart of ``mips_topk_pallas2_t`` (oracle + CPU/small-N path).
+    Streams column chunks via ``dynamic_slice`` (no transposed copy).
+    ``valid_n`` (may be traced) masks trailing columns, see the pallas
+    variant."""
+    b = queries.shape[0]
+    d, n = embeddings_t.shape
+    k = min(k, n)
+    nv = n if valid_n is None else jnp.asarray(valid_n, jnp.int32)
+    chunk = min(chunk, _next_multiple(n, 128))
+    pad = (-n) % chunk
+    if pad:
+        embeddings_t = jnp.pad(embeddings_t, ((0, 0), (0, pad)))
+    n_chunks = embeddings_t.shape[1] // chunk
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+
+    def body(carry, start):
+        cs, ci = carry
+        e_c = jax.lax.dynamic_slice(embeddings_t, (0, start), (d, chunk))
+        s = jax.lax.dot_general(
+            queries, e_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        idx = col + start
+        s = jnp.where(idx < nv, s, NEG_INF)
+        if approx:
+            v, a = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+            s, idx = v, jnp.take_along_axis(idx, a, axis=1)
+        all_s = jnp.concatenate([cs, s], axis=1)
+        all_i = jnp.concatenate([ci, idx], axis=1)
+        v, a = jax.lax.top_k(all_s, k)
+        return (v, jnp.take_along_axis(all_i, a, axis=1)), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = jax.lax.scan(body, init, starts)
+    return scores, idx
+
+
+def mips_topk_t(
+    queries: jax.Array,
+    embeddings_t: jax.Array,  # (d, N)
+    k: int,
+    *,
+    method: "Method" = "auto",
+    chunk: int | None = None,
+    recall_target: float = 0.99,
+    valid_n: jax.Array | int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """MIPS over a transposed (d, N) index — the dense flat-index layout
+    (matches the reference's (dim, N_local) storage, src/index.py:52; on TPU
+    it feeds the MXU contraction-major, 1.6x faster than row-major at
+    d=1024)."""
+    n = embeddings_t.shape[1]
+    if method == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        method = "pallas2" if on_tpu and n >= 65536 else "exact"
+    if method in ("pallas", "pallas2"):
+        from .mips_pallas2 import mips_topk_pallas2_t
+
+        return mips_topk_pallas2_t(queries, embeddings_t, k,
+                                   valid_n=valid_n)
+    if method == "exact":
+        return mips_topk_xla_t(queries, embeddings_t, k,
+                               chunk=chunk or 16384, approx=False,
+                               valid_n=valid_n)
+    if method == "approx":
+        return mips_topk_xla_t(queries, embeddings_t, k,
+                               chunk=chunk or 262144, approx=True,
+                               recall_target=recall_target,
+                               valid_n=valid_n)
+    raise ValueError(f"unknown MIPS method {method!r}")
+
+
 Method = Literal["auto", "exact", "approx", "pallas"]
 
 

@@ -78,10 +78,18 @@ def mips_topk_pallas2(
     n = embeddings.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    n_tiles_est = _round_up(n, tile_n) // tile_n
-    # the candidate pool must cover k: with few tiles (small shards) raise T
-    # so n_tiles * T >= k, keeping the approximation exact-enough everywhere
-    t = min(tile_n, max(t_per_tile, -(-k // n_tiles_est)))
+    # the candidate pool must cover k with VALID rows: a trailing
+    # mostly-padded tile contributes almost-only NEG_INF candidates, so
+    # size T from the number of FULL tiles (regression: n=4099, k=100,
+    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
+    # the pool below k)
+    full_tiles = max(1, n // tile_n)
+    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
+    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
+    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
+    # tile counts the margin rounds to ~0
+    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
+    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
 
     b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
     tile_q = min(tile_q, b_pad)
@@ -142,6 +150,122 @@ def _merge_candidates(cand_s, cand_i, k: int, b: int):
     v, a = jax.lax.top_k(cand_s, k_eff)
     ids = jnp.take_along_axis(cand_i, a, axis=1)
     return v[:b], ids[:b]
+
+
+# --------------------------------------------------------- transposed layout
+def _topt_kernel_t(q_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
+                   t_per_tile: int, tile_n: int):
+    """Same as ``_topt_kernel`` but the index tile arrives contraction-major:
+    e_ref is a (d, tile_n) block of the (d, N) transposed index, so the MXU
+    consumes it directly with no per-tile relayout. Measured 1.6x faster at
+    flagship geometry (d=1024, 1.3M rows: 22.6k -> 36.4k qps/chip) — the
+    (tile_n, d) rhs of the row-major kernel forces a VMEM transpose each
+    grid step. (The reference stores its GPU index the same way:
+    src/index.py:52 keeps a (dim, N_local) tensor.)
+
+    The valid-row count arrives as a runtime SMEM scalar (nv_ref) so the
+    caller can over-allocate tile-aligned storage and mask the tail without
+    re-padding the whole index inside the search program (an in-jit
+    ``jnp.pad`` of a 2.7 GB index costs ~13 ms/call)."""
+    nt = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_q", "tile_n", "t_per_tile", "interpret"),
+)
+def mips_topk_pallas2_t(
+    queries: jax.Array,       # (B, d)
+    embeddings_t: jax.Array,  # (d, N) — contraction-major index
+    k: int,
+    *,
+    valid_n: jax.Array | int | None = None,
+    tile_q: int = 256,
+    tile_n: int = 2048,
+    t_per_tile: int = 4,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused MIPS over a transposed (d, N) index — the production layout for
+    dense (bf16/f32) flat storage. queries (B, d) -> (scores, ids) (B, k).
+
+    ``valid_n``: runtime count of valid columns (may be traced); columns
+    beyond it score NEG_INF in-kernel. Lets a sharded caller allocate
+    tile-aligned storage and skip the in-jit tail pad (which would copy the
+    whole index per search). Defaults to N."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, d = queries.shape
+    n = embeddings_t.shape[1]
+    k = min(k, n)
+    if valid_n is None:
+        valid_n = n
+    nv = jnp.asarray(valid_n, jnp.int32).reshape(1)
+    tile_n = min(tile_n, _round_up(n, 128))
+    full_tiles = max(1, n // tile_n)  # see row-major variant: pool must
+    margin = int(3 * (k / full_tiles) ** 0.5 + 1)  # cover k valid rows
+    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+
+    b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
+    tile_q = min(tile_q, b_pad)
+    b_pad = _round_up(b_pad, tile_q)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        embeddings_t = jnp.pad(embeddings_t, ((0, 0), (0, n_pad - n)))
+    n_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topt_kernel_t, t_per_tile=t, tile_n=tile_n)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=b_pad * d * 4 + n_pad * d * 2
+            + b_pad * n_tiles * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, embeddings_t, nv)
+
+    cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    return _merge_candidates(cand_s, cand_i, k, b)
 
 
 # --------------------------------------------------------------------- fp16
@@ -212,10 +336,18 @@ def mips_topk_pallas2_f16(
     n = emb_bits.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    n_tiles_est = _round_up(n, tile_n) // tile_n
-    # the candidate pool must cover k: with few tiles (small shards) raise T
-    # so n_tiles * T >= k, keeping the approximation exact-enough everywhere
-    t = min(tile_n, max(t_per_tile, -(-k // n_tiles_est)))
+    # the candidate pool must cover k with VALID rows: a trailing
+    # mostly-padded tile contributes almost-only NEG_INF candidates, so
+    # size T from the number of FULL tiles (regression: n=4099, k=100,
+    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
+    # the pool below k)
+    full_tiles = max(1, n // tile_n)
+    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
+    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
+    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
+    # tile counts the margin rounds to ~0
+    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
+    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
 
     q = queries.astype(jnp.float32)
     qh = q.astype(jnp.bfloat16)
@@ -339,10 +471,18 @@ def mips_topk_pallas2_int8(
     n = emb_q.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    n_tiles_est = _round_up(n, tile_n) // tile_n
-    # the candidate pool must cover k: with few tiles (small shards) raise T
-    # so n_tiles * T >= k, keeping the approximation exact-enough everywhere
-    t = min(tile_n, max(t_per_tile, -(-k // n_tiles_est)))
+    # the candidate pool must cover k with VALID rows: a trailing
+    # mostly-padded tile contributes almost-only NEG_INF candidates, so
+    # size T from the number of FULL tiles (regression: n=4099, k=100,
+    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
+    # the pool below k)
+    full_tiles = max(1, n // tile_n)
+    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
+    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
+    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
+    # tile counts the margin rounds to ~0
+    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
+    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
 
     qv, qs = quantize_int8(queries)
 

@@ -174,3 +174,35 @@ def test_build_index_length_bucketing(mesh_flat):
         embs[bucket] = np.asarray(index.embeddings_as_float())
     # synthetic passages are ~8 tokens: bucketed build runs at S=16, not 128
     np.testing.assert_allclose(embs[16], embs[0], atol=1e-5)
+
+
+def test_build_index_sorted_windows(mesh_flat):
+    """Length-sorted windowed batching must leave index row order unchanged:
+    sort_window=8 (sorted, incl. a ragged final window) == sort_window=1
+    (plain contiguous batches), row for row."""
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    from jsa_rag_tpu.index.build import build_index, make_encode_fn
+
+    tok = SimpleTokenizer(max_vocab=2000)
+    # 100 passages, batch 8, window 8*8=64 -> one full window + a ragged
+    # 36-row window whose pad rows must not leak into the index
+    store = PassageStore.synthetic(100, seed=2)
+    cfg = RetrieverConfig(
+        bert=BertConfig(vocab_size=2000, hidden=32, layers=2, heads=4,
+                        intermediate=64, max_positions=64,
+                        pooling="mean_norm"),
+        tied=True)
+    ret = DualEncoderRetriever(cfg)
+    params = ret.init(jax.random.PRNGKey(0))
+    encode = make_encode_fn(ret)
+
+    embs = {}
+    for window in (1, 8):
+        index = ShardedFlatIndex(mesh_flat, len(store), 32,
+                                 dtype=jnp.float32, method="exact")
+        build_index(index, store, lambda i, m: encode(params, i, m), tok,
+                    batch_size=8, max_length=64, length_bucket=16,
+                    sort_window=window)
+        embs[window] = np.asarray(index.embeddings_as_float())
+    assert np.abs(embs[8]).sum() > 0
+    np.testing.assert_allclose(embs[8], embs[1], atol=1e-5)

@@ -150,3 +150,81 @@ def test_f16_decode_parity():
     want = vals.astype(np.float32)
     want[np.abs(want) < 6.1e-5] = 0.0  # subnormals flush to zero
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method,n,k", [
+    ("exact", 1000, 10), ("exact", 257, 100), ("approx", 5000, 20),
+    ("pallas2", 1000, 10), ("pallas2", 4099, 100),
+])
+def test_transposed_matches_oracle(method, n, k):
+    """mips_topk_t over a (d, N) contraction-major index (the dense flat
+    storage layout) matches the row-major oracle for every method."""
+    from jsa_rag_tpu.ops.mips import mips_topk_t
+
+    q, e = make_data(n=n)
+    k = min(k, n)
+    vs, vi = mips_topk_t(jnp.array(q), jnp.array(e.T), k, method=method)
+    ov, oi = oracle(q, e, k)
+    # pallas2 with k much larger than T-per-full-tile is a high-recall
+    # approximation (kernel contract), not exact: check recall + validity
+    if method == "approx" or (method == "pallas2" and n == 4099):
+        recall = np.mean([len(set(np.asarray(vi)[i]) & set(oi[i])) / k
+                          for i in range(q.shape[0])])
+        assert recall >= 0.97
+        assert np.asarray(vi).min() >= 0 and np.asarray(vi).max() < n
+        assert np.asarray(vs).min() > -1e30  # pool never starved below k
+    else:
+        np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
+        # ids may tie-swap only where scores tie; compare as score-sets
+        np.testing.assert_allclose(
+            np.take_along_axis(np.asarray(q, np.float32)
+                               @ np.asarray(e, np.float32).T,
+                               np.asarray(vi), axis=1), ov,
+            rtol=1e-5, atol=1e-5)
+
+
+def test_transposed_pad_rows_masked():
+    """Zero pad columns (global id >= n) must never appear in results even
+    when all true scores are negative."""
+    from jsa_rag_tpu.ops.mips import mips_topk_t
+
+    rng = np.random.default_rng(3)
+    d, n = 32, 130  # pallas pads to 256 cols internally
+    e = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
+    q = np.abs(rng.standard_normal((4, d))).astype(np.float32)
+    for method in ("exact", "pallas2"):
+        _, vi = mips_topk_t(jnp.array(q), jnp.array(e.T), 100, method=method)
+        assert np.asarray(vi).max() < n
+        assert np.asarray(vi).min() >= 0
+
+
+def test_transposed_valid_n_masks_tail():
+    """Tile-aligned over-allocation + runtime valid_n: columns beyond
+    valid_n must never be returned, and results must equal the unpadded
+    oracle (both kernels, traced and static valid_n)."""
+    from jsa_rag_tpu.ops.mips import mips_topk_t, mips_topk_xla_t
+    from jsa_rag_tpu.ops.mips_pallas2 import mips_topk_pallas2_t
+
+    rng = np.random.default_rng(5)
+    n, n_alloc, d, k = 300, 512, 32, 10
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    et = np.zeros((d, n_alloc), np.float32)
+    et[:, :n] = e.T
+    # garbage (huge) values in the pad region must be masked out
+    et[:, n:] = 100.0
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    ov, oi = oracle(q, e, k)
+
+    for fn in (
+        lambda: mips_topk_pallas2_t(jnp.array(q), jnp.array(et), k,
+                                    valid_n=n),
+        lambda: mips_topk_pallas2_t(jnp.array(q), jnp.array(et), k,
+                                    valid_n=jnp.int32(n)),
+        lambda: mips_topk_xla_t(jnp.array(q), jnp.array(et), k,
+                                valid_n=jnp.int32(n)),
+        lambda: mips_topk_t(jnp.array(q), jnp.array(et), k,
+                            method="exact", valid_n=n),
+    ):
+        vs, vi = fn()
+        assert np.asarray(vi).max() < n
+        np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
