@@ -11,6 +11,11 @@ Timing note: through the axon tunnel, per-call ``block_until_ready`` is
 unreliable and identical calls may be replayed from a cache, so iterations
 are chained with a data dependency and the final value is fetched to host
 (see .claude/skills/verify/SKILL.md).
+
+Robustness: the tunnel occasionally wedges (all device ops hang). The
+top-level entry runs the measurement in a subprocess under a deadline,
+retries once, and finally emits an honest CPU-fallback line rather than
+hanging the driver.
 """
 
 import json
@@ -20,7 +25,13 @@ import numpy as np
 
 
 def main():
+    import os as _os
+
     import jax
+
+    if _os.environ.get("BENCH_CPU_FALLBACK"):
+        # the axon sitecustomize pins jax_platforms; env alone won't switch
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
@@ -99,13 +110,52 @@ def main():
     results = {name: measure(fn) for name, fn in methods.items()}
     best = max(results, key=results.get)
     qps = results[best]
+    tag = "_cpu_fallback" if os.environ.get("BENCH_CPU_FALLBACK") else ""
     print(json.dumps({
-        "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs",
+        "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs{tag}",
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / 10_000.0, 3),
     }))
 
 
+def _run_guarded() -> None:
+    """Run ``main()`` in a child under a deadline; retry once; fall back to
+    a CPU measurement (JAX_PLATFORMS=cpu, small N) if the accelerator path
+    hangs or dies — the driver always gets one valid JSON line."""
+    import os
+    import subprocess
+    import sys
+
+    deadline = int(os.environ.get("BENCH_DEADLINE", 1500))
+    attempts = [({}, deadline), ({}, deadline),
+                ({"JAX_PLATFORMS": "cpu", "BENCH_CPU_FALLBACK": "1"}, 600)]
+    for extra_env, limit in attempts:
+        env = {**os.environ, "BENCH_CHILD": "1", **extra_env}
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, timeout=limit,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt timed out after {limit}s; retrying",
+                  file=sys.stderr)
+            continue
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(f"# bench attempt rc={proc.returncode}; tail: "
+              f"{proc.stdout[-500:]}", file=sys.stderr)
+    raise SystemExit("bench: all attempts failed")
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if _os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        _run_guarded()
