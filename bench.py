@@ -83,11 +83,14 @@ def main():
         "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
         "pallas": lambda q: mips_topk_pallas(q, e, k),
     }
-    pin = os.environ.get("BENCH_METHOD", "pallas2t" if on_tpu else None)
-    if pin:
-        methods = {pin: methods[pin]}
     if not on_tpu:
+        # CPU (smoke/fallback): only the approx path is sensible; this
+        # override must win over a pinned TPU method
         methods = {"approx": methods["approx"]}
+    else:
+        pin = os.environ.get("BENCH_METHOD", "pallas2t")
+        if pin:
+            methods = {pin: methods[pin]}
 
     def chain(search, m):
         carry = jnp.zeros((b, 1), jnp.float32)

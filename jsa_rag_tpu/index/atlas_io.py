@@ -155,9 +155,13 @@ def save_index_atlas_format(index, passages: list[dict], path: str, *,
     n = emb.shape[0]
     if len(passages) != n:
         raise ValueError(f"{len(passages)} passages vs {n} embeddings")
-    per = -(-n // total_saved_shards)
-    for shard, s in enumerate(range(0, n, per)):
-        e = min(s + per, n)
+    # exactly total_saved_shards files (possibly ragged/empty tails): the
+    # reference layout is a FIXED shard count and consumers iterate all of
+    # it (src/index.py:90-112) — ceil-sized chunks can produce fewer files
+    # (e.g. n=1000, shards=128 -> 125) and break reloading
+    bounds = np.linspace(0, n, total_saved_shards + 1).astype(int)
+    for shard in range(total_saved_shards):
+        s, e = int(bounds[shard]), int(bounds[shard + 1])
         torch.save(torch.from_numpy(np.ascontiguousarray(emb[s:e].T)),
                    os.path.join(path, EMBEDDING_FNAME.format(shard=shard)))
         with open(os.path.join(path, PASSAGE_FNAME.format(shard=shard)),

@@ -63,11 +63,16 @@ def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
     if transposed:
         # the kernel masks the shard's pad columns itself via the runtime
         # valid count (no zero-score pads can displace candidates, so no
-        # k widening; storage is tile-aligned so no in-search pad copy)
+        # k widening; storage is tile-aligned so no in-search pad copy).
+        # pool_n sizes the per-tile candidate pool from the WORST-CASE
+        # valid count: a mostly-padded shard packs its valid columns into
+        # few tiles, and pool sizing from allocated tiles would drop true
+        # top-k hits there.
         n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)
-        scores, local_idx = mips.mips_topk_t(q, emb_shard,
-                                             min(shard_rows, k),
-                                             method=method, valid_n=n_valid)
+        max_pads = min(shard_rows, n_padded - n_true)
+        scores, local_idx = mips.mips_topk_t(
+            q, emb_shard, min(shard_rows, k), method=method,
+            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads))
     else:
         max_pads = min(shard_rows, n_padded - n_true)
         k_local = min(shard_rows, k + max_pads)

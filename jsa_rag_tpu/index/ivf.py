@@ -401,8 +401,12 @@ class ShardedIVFIndex:
                   storage=meta.get("storage", "dense"),
                   code_size=meta.get("code_size", 32))
         idx.cap = meta["cap"]
+        # dense bf16 clusters are saved as uint16 bit views (np_save); pass
+        # the target dtype so np_load re-VIEWS the bits — a value cast would
+        # silently corrupt every embedding (0.5 -> 16128.0)
+        cluster_dtype = idx.dtype if idx.storage == "dense" else None
         clusters = np.concatenate(
-            [np_load(os.path.join(path, f"clusters.{i}.npy"))
+            [np_load(os.path.join(path, f"clusters.{i}.npy"), cluster_dtype)
              for i in range(meta["n_files"])])
         ids = np.concatenate(
             [np_load(os.path.join(path, f"ids.{i}.npy"))

@@ -152,11 +152,9 @@ def positions_from_mask(attention_mask) -> jax.Array:
     return jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
 
-def _dropout(x, rate: float, rng):
-    if rng is None or rate == 0.0:
-        return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+# single dropout implementation shared with the encoder (semantics must
+# stay in lockstep across both model families)
+from .bert import dropout as _dropout  # noqa: E402
 
 
 def _attention(layer, cfg: LMConfig, x, positions, bias, cache=None,
@@ -411,7 +409,7 @@ def _apply_forced_prefix(choice, t, forced_prefix, forced_len):
 
 def greedy_generate(params: Params, cfg: LMConfig, input_ids,
                     attention_mask, *, max_new_tokens: int,
-                    eos_id: int, pad_id: int,
+                    eos_id: int, pad_id: int, min_new_tokens: int = 0,
                     forced_prefix=None, forced_len=None) -> jax.Array:
     """Greedy decode with preallocated KV cache.
 
@@ -435,6 +433,11 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
         cache_len=0, total_len=total,
     )
     last_logits = logits[:, -1]  # left-padded: last position is prompt end
+    # HF min_length semantics (reference passes generation_min_length to
+    # generate, src/rag.py:2247-2258): suppress EOS until min_new_tokens
+    # tokens have been emitted
+    if min_new_tokens > 0:
+        last_logits = last_logits.at[:, eos_id].set(-jnp.inf)
     next_tok = jnp.argmax(last_logits, axis=-1)
     if forced_prefix is not None:
         next_tok = _apply_forced_prefix(next_tok, 0, forced_prefix,
@@ -449,7 +452,14 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
             params, cfg, tok[:, None], mask, pos[:, None], cache,
             cache_len=prompt_len + t, total_len=total,
         )
-        new_tok = jnp.argmax(logits[:, -1], axis=-1)
+        step_logits = logits[:, -1]
+        if min_new_tokens > 0:
+            # token emitted this step has 0-based index t+1
+            step_logits = jnp.where(
+                (t + 1 < min_new_tokens)
+                & (jnp.arange(step_logits.shape[-1]) == eos_id)[None],
+                -jnp.inf, step_logits)
+        new_tok = jnp.argmax(step_logits, axis=-1)
         if forced_prefix is not None:
             new_tok = _apply_forced_prefix(new_tok, t + 1, forced_prefix,
                                            forced_len)

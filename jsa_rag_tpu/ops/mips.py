@@ -174,39 +174,42 @@ def mips_topk_xla_t(
     d, n = embeddings_t.shape
     k = min(k, n)
     nv = n if valid_n is None else jnp.asarray(valid_n, jnp.int32)
-    chunk = min(chunk, _next_multiple(n, 128))
-    pad = (-n) % chunk
-    if pad:
-        embeddings_t = jnp.pad(embeddings_t, ((0, 0), (0, pad)))
-    n_chunks = embeddings_t.shape[1] // chunk
+    chunk = min(chunk, n)
+    # scan full chunks; handle the remainder with its own static-size slice
+    # (an in-jit jnp.pad to a chunk multiple would COPY the whole index —
+    # ~13 ms per search on a multi-GB shard)
+    n_full = (n // chunk) * chunk
+    n_chunks = n_full // chunk
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
-
-    def body(carry, start):
+    def score_cols(carry, start, width):
         cs, ci = carry
-        e_c = jax.lax.dynamic_slice(embeddings_t, (0, start), (d, chunk))
+        e_c = jax.lax.dynamic_slice(embeddings_t, (0, start), (d, width))
         s = jax.lax.dot_general(
             queries, e_c,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        idx = col + start
+        idx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) + start
         s = jnp.where(idx < nv, s, NEG_INF)
-        if approx:
+        if approx and width >= 2 * k:
             v, a = jax.lax.approx_max_k(s, k, recall_target=recall_target)
             s, idx = v, jnp.take_along_axis(idx, a, axis=1)
         all_s = jnp.concatenate([cs, s], axis=1)
         all_i = jnp.concatenate([ci, idx], axis=1)
         v, a = jax.lax.top_k(all_s, k)
-        return (v, jnp.take_along_axis(all_i, a, axis=1)), None
+        return v, jnp.take_along_axis(all_i, a, axis=1)
 
-    init = (
+    carry = (
         jnp.full((b, k), NEG_INF, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
     )
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (scores, idx), _ = jax.lax.scan(body, init, starts)
-    return scores, idx
+    if n_chunks:
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        carry, _ = jax.lax.scan(
+            lambda c, s: (score_cols(c, s, chunk), None), carry, starts)
+    if n - n_full:
+        carry = score_cols(carry, jnp.int32(n_full), n - n_full)
+    return carry
 
 
 def mips_topk_t(
@@ -218,11 +221,13 @@ def mips_topk_t(
     chunk: int | None = None,
     recall_target: float = 0.99,
     valid_n: jax.Array | int | None = None,
+    pool_n: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """MIPS over a transposed (d, N) index — the dense flat-index layout
     (matches the reference's (dim, N_local) storage, src/index.py:52; on TPU
     it feeds the MXU contraction-major, 1.6x faster than row-major at
-    d=1024)."""
+    d=1024). ``pool_n``: static lower bound on valid columns for pallas
+    candidate-pool sizing (see mips_topk_pallas2_t)."""
     n = embeddings_t.shape[1]
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -231,7 +236,7 @@ def mips_topk_t(
         from .mips_pallas2 import mips_topk_pallas2_t
 
         return mips_topk_pallas2_t(queries, embeddings_t, k,
-                                   valid_n=valid_n)
+                                   valid_n=valid_n, pool_n=pool_n)
     if method == "exact":
         return mips_topk_xla_t(queries, embeddings_t, k,
                                chunk=chunk or 16384, approx=False,

@@ -33,6 +33,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pool_t(k: int, n: int, tile_n: int, t_per_tile: int) -> int:
+    """Per-tile candidate-pool depth T.
+
+    The pool must cover k with VALID rows, so ``n`` is the count of valid
+    rows/columns and tiles are counted by floor — a trailing mostly-padded
+    tile contributes almost-only NEG_INF candidates (regression: n=4099,
+    k=100, tile_n=2048 -> the last tile has 3 valid rows and ceil-based
+    sizing starved the pool below k). Mean per-tile share k/full plus a
+    3-sigma binomial margin: with few tiles the share fluctuates
+    (sd ~ sqrt(k/full)) and a mean-sized pool loses the tail (measured
+    recall 0.95 at n=4099, k=100); at production tile counts the margin
+    rounds to ~0."""
+    full_tiles = max(1, n // tile_n)
+    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
+    return min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+
+
 def _topt_kernel(q_ref, e_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
                  tile_n: int, n_true: int):
     """Outputs are (n_tiles, B, T) blocks — the tile index lives in the
@@ -78,18 +95,7 @@ def mips_topk_pallas2(
     n = embeddings.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    # the candidate pool must cover k with VALID rows: a trailing
-    # mostly-padded tile contributes almost-only NEG_INF candidates, so
-    # size T from the number of FULL tiles (regression: n=4099, k=100,
-    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
-    # the pool below k)
-    full_tiles = max(1, n // tile_n)
-    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
-    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
-    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
-    # tile counts the margin rounds to ~0
-    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
-    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+    t = _pool_t(k, n, tile_n, t_per_tile)
 
     b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
     tile_q = min(tile_q, b_pad)
@@ -187,7 +193,8 @@ def _topt_kernel_t(q_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_q", "tile_n", "t_per_tile", "interpret"),
+    static_argnames=("k", "pool_n", "tile_q", "tile_n", "t_per_tile",
+                     "interpret"),
 )
 def mips_topk_pallas2_t(
     queries: jax.Array,       # (B, d)
@@ -195,6 +202,7 @@ def mips_topk_pallas2_t(
     k: int,
     *,
     valid_n: jax.Array | int | None = None,
+    pool_n: int | None = None,
     tile_q: int = 256,
     tile_n: int = 2048,
     t_per_tile: int = 4,
@@ -206,7 +214,11 @@ def mips_topk_pallas2_t(
     ``valid_n``: runtime count of valid columns (may be traced); columns
     beyond it score NEG_INF in-kernel. Lets a sharded caller allocate
     tile-aligned storage and skip the in-jit tail pad (which would copy the
-    whole index per search). Defaults to N."""
+    whole index per search). Defaults to N.
+    ``pool_n``: static lower bound on the valid column count, used to size
+    the per-tile candidate pool (a mostly-padded shard packs its valid
+    columns into few tiles; sizing from allocated tiles would under-pool
+    them and silently drop true top-k hits). Defaults to N."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, d = queries.shape
@@ -216,9 +228,12 @@ def mips_topk_pallas2_t(
         valid_n = n
     nv = jnp.asarray(valid_n, jnp.int32).reshape(1)
     tile_n = min(tile_n, _round_up(n, 128))
-    full_tiles = max(1, n // tile_n)  # see row-major variant: pool must
-    margin = int(3 * (k / full_tiles) ** 0.5 + 1)  # cover k valid rows
-    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+    # size the pool from the VALID column count: a sharded caller's
+    # tile-aligned allocation can leave a shard mostly padding, and sizing
+    # from allocated tiles would starve the pool for the valid columns
+    # squeezed into few tiles
+    t = _pool_t(k, min(n, pool_n if pool_n is not None else n),
+                tile_n, t_per_tile)
 
     b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
     tile_q = min(tile_q, b_pad)
@@ -336,18 +351,7 @@ def mips_topk_pallas2_f16(
     n = emb_bits.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    # the candidate pool must cover k with VALID rows: a trailing
-    # mostly-padded tile contributes almost-only NEG_INF candidates, so
-    # size T from the number of FULL tiles (regression: n=4099, k=100,
-    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
-    # the pool below k)
-    full_tiles = max(1, n // tile_n)
-    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
-    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
-    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
-    # tile counts the margin rounds to ~0
-    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
-    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+    t = _pool_t(k, n, tile_n, t_per_tile)
 
     q = queries.astype(jnp.float32)
     qh = q.astype(jnp.bfloat16)
@@ -471,18 +475,7 @@ def mips_topk_pallas2_int8(
     n = emb_q.shape[0]
     k = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    # the candidate pool must cover k with VALID rows: a trailing
-    # mostly-padded tile contributes almost-only NEG_INF candidates, so
-    # size T from the number of FULL tiles (regression: n=4099, k=100,
-    # tile_n=2048 -> last tile has 3 valid rows and ceil-based T starved
-    # the pool below k)
-    full_tiles = max(1, n // tile_n)
-    # mean per-tile share k/full plus a 3-sigma binomial margin: with few
-    # tiles the share fluctuates (sd ~ sqrt(k/full)) and a mean-sized pool
-    # loses the tail (measured recall 0.95 at n=4099, k=100); at production
-    # tile counts the margin rounds to ~0
-    margin = int(3 * (k / full_tiles) ** 0.5 + 1)
-    t = min(tile_n, max(t_per_tile, -(-k // full_tiles) + margin))
+    t = _pool_t(k, n, tile_n, t_per_tile)
 
     qv, qs = quantize_int8(queries)
 

@@ -514,17 +514,22 @@ class RAGModel:
         else:
             out = greedy_generate(
                 gen_params, self.gen_cfg, jnp.asarray(gids),
-                jnp.asarray(gmask), **kw)
+                jnp.asarray(gmask),
+                min_new_tokens=self.opt.generation_min_length or 0, **kw)
         return np.asarray(out)
 
     def _forced_prefix(self, queries, n_rows):
         """(rows, P) forced decoder-prompt ids + per-row lengths, one row
         per generation-batch row (query-major, matching build rows)."""
         fmt = self.opt.decoder_prompt_format
-        per_q = [self.generator_tokenizer.encode_batch(
+        # trim each encoded row to its mask length: encode_batch pads to
+        # target_maxlength, and a padded forced_len would force the decoder
+        # to emit pad tokens after the real prefix
+        enc = [self.generator_tokenizer.encode_batch(
             [fmt.format_map({"query": q})],
-            self.opt.target_maxlength, add_special=False)[0][0]
+            self.opt.target_maxlength, add_special=False)
             for q in queries]
+        per_q = [ids[0][: int(mask[0].sum())] for ids, mask in enc]
         rep = n_rows // len(queries)
         rows = [list(ids) for ids in per_q for _ in range(rep)]
         plen = max(1, max(len(r) for r in rows))

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--configs", type=str, default="",
+                    help="comma-separated config-name filter (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +82,9 @@ def main():
         ("sorted-w8-b32", dict(length_bucket=32, sort_window=8)),
         ("sorted-w16-b32", dict(length_bucket=32, sort_window=16)),
     ]
+    if args.configs:
+        want = set(args.configs.split(","))
+        configs = [c for c in configs if c[0] in want]
     print(f"# n={args.n} batch={args.batch} enc={args.layers}x{args.hidden}")
     for name, kw in configs:
         for run in range(2):  # run 0 warms compiles

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""JSA training-step time with per-phase breakdown on the local chip.
+
+Mirrors the reference's iter_stats runtime rows (runtime/retrieve,
+runtime/forward, runtime/backward, runtime/model_update —
+train.py:193-271, src/rag.py:1377-2180) for the framework's jitted step:
+
+  batch  : retrieve_pair (sharded MIPS + union) + host tokenization
+  grad   : jitted loss+grad (retriever scoring, MIS chain, generator CE)
+  update : jitted optimizer apply
+
+Model geometry is per --size (the step *structure* uses flagship counts:
+mis_step 50, n_context 10; run-jsa-nq-no-rebuild.sh:45-50); the index is
+filled with random unit rows on device so the bench needs no corpus embed.
+
+Usage: python scripts/analysis/train_step_bench.py [--n 200000 --steps 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--size", type=str, default="base")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--mis", type=int, default=50)
+    ap.add_argument("--n_context", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--text_maxlength", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jsa_rag_tpu.config import Options
+    from jsa_rag_tpu.data.passages import PassageStore
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    from jsa_rag_tpu.model_io import load_or_initialize_model
+    from jsa_rag_tpu.parallel.mesh import make_mesh
+    from jsa_rag_tpu.train.optim import set_optim
+
+    opt = Options(
+        model_size=args.size, gold_score_mode="jsa", gen_method="jsa",
+        n_context=args.n_context, mis_step=args.mis,
+        text_maxlength=args.text_maxlength, target_maxlength=16,
+        per_gpu_batch_size=args.batch, train_retriever=True,
+        use_all_mis=True, unil_postandprior=True,
+    )
+    t0 = time.time()
+    store = PassageStore.synthetic(args.n, seed=0)
+    model, params, _ = load_or_initialize_model(opt, store)
+    mesh = make_mesh(n_data=1)
+    dim = model.retriever.cfg.bert.hidden
+    index = ShardedFlatIndex(mesh, len(store), dim)
+
+    @jax.jit
+    def random_index(key):
+        e = jax.random.normal(key, (dim, index.n_padded), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=0, keepdims=True)
+        return e.astype(index.dtype)
+
+    index.embeddings = jax.device_put(random_index(jax.random.PRNGKey(1)),
+                                      index.sharding)
+    print(f"# setup {time.time()-t0:.1f}s: {args.size} geometry, "
+          f"n={args.n}, B={args.batch}, mis={args.mis}, "
+          f"K={args.n_context}, L={args.text_maxlength}")
+
+    rng0 = np.random.default_rng(0)
+    def make_qt(step):
+        qs = [f"what is w{rng0.integers(900)} q{step} b{i}"
+              for i in range(args.batch)]
+        ts = [f"w{rng0.integers(900)}" for _ in range(args.batch)]
+        return qs, ts
+
+    vg = model.loss_and_grad_fn("jsa")
+    tx, _ = set_optim(opt, params)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def apply_update(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    times = {"batch": [], "grad": [], "update": []}
+    for step in range(args.steps + 2):
+        qs, ts = make_qt(step)
+        rng = jax.random.PRNGKey(step)
+        t0 = time.time()
+        batch = model.build_batch("jsa", index, params, qs, ts)
+        jax.block_until_ready(batch["union_passage_ids"])
+        t1 = time.time()
+        (loss, aux), grads = vg(params, batch, rng)
+        loss = float(loss)  # forces the full fwd+bwd
+        t2 = time.time()
+        params, opt_state = apply_update(params, opt_state, grads)
+        jax.block_until_ready(
+            jax.tree_util.tree_leaves(params)[0])
+        t3 = time.time()
+        if step >= 2:  # first 2 steps warm compiles
+            times["batch"].append(t1 - t0)
+            times["grad"].append(t2 - t1)
+            times["update"].append(t3 - t2)
+        assert np.isfinite(loss), loss
+    tot = sum(float(np.mean(v)) for v in times.values())
+    for k, v in times.items():
+        print(f"{k:7s}: {np.mean(v)*1e3:8.1f} ms "
+              f"(+/- {np.std(v)*1e3:.1f})")
+    print(f"total  : {tot*1e3:8.1f} ms/step -> "
+          f"{args.batch/tot:.2f} examples/sec/chip (loss {loss:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,23 @@ def test_import_atlas_retriever_towers(tmp_path):
                str(tmp_path / "gen_only.pth.tar"))
     assert import_atlas_retriever_towers(
         str(tmp_path / "gen_only.pth.tar"), 2) is None
+
+
+def test_export_writes_exact_shard_count(atlas_dir, tmp_path):
+    """Regression: ceil-sized chunks wrote fewer than total_saved_shards
+    files (n=100, shards=13 -> ceil(100/13)=8 -> 13 files only if 13|range);
+    the reference layout is a FIXED count and consumers iterate all of it
+    (src/index.py:90-112)."""
+    path, emb, passages = atlas_dir
+    mesh = make_mesh(1, 8)
+    idx = ShardedFlatIndex(mesh, N, D, dtype=jnp.float16)
+    load_atlas_into_index(idx, path)
+    out = str(tmp_path / "exp13")
+    save_index_atlas_format(idx, passages, out, total_saved_shards=13)
+    assert detect_n_shards(out) == 13
+    rows, docs = [], []
+    for r, p in iter_atlas_shards(out):
+        rows.append(r)
+        docs.extend(p)
+    np.testing.assert_array_equal(np.concatenate(rows), emb)
+    assert docs == passages

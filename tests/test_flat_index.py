@@ -189,3 +189,32 @@ def test_load_index_kind_dispatch(tmp_path, mesh_flat):
                       ShardedFlatIndex)
     assert isinstance(load_index(str(tmp_path / "v"), mesh_flat),
                       ShardedIVFIndex)
+
+
+def test_transposed_pad_starved_shard_keeps_topk(mesh_flat):
+    """Regression: on a tile-aligned transposed index, a shard that is
+    mostly padding packs its valid columns into few pallas tiles; sizing
+    the per-tile candidate pool from ALLOCATED tiles starved it and
+    silently dropped true top-k hits clustered in that shard."""
+    n, d, k = 29904, 64, 100  # 8 shards of 4096 (2 tiles); last has 1232
+    rng = np.random.default_rng(9)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # plant the global top-k inside the last shard's single valid tile
+    plant = np.arange(n - 1232, n - 1232 + 120)
+    e[plant] = q[0] + 0.03 * rng.standard_normal((len(plant), d))
+    e[plant] /= np.linalg.norm(e[plant], axis=1, keepdims=True)
+
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.bfloat16,
+                           method="pallas2")
+    assert idx.transposed and idx.shard_rows == 4096
+    idx.set_embeddings(0, e)
+    _, ids = idx.search(jnp.asarray(q), k)
+    got = set(np.asarray(ids)[0].tolist())
+    # brute-force oracle over the bf16-stored values
+    eb = np.asarray(jnp.asarray(e, jnp.bfloat16).astype(jnp.float32))
+    want = set(np.argsort(-(eb @ q[0]))[:k].tolist())
+    missed = want - got
+    assert not missed, f"lost {len(missed)} of top-{k}: {sorted(missed)[:8]}"

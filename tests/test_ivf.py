@@ -217,3 +217,23 @@ def test_ivf_save_load(tmp_path, corpora):
     v2, i2 = ivf2.search(jnp.asarray(q), 8)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_bf16_save_load_roundtrip(tmp_path, corpora):
+    # regression: dense bf16 clusters are saved as uint16 bit views; load
+    # must re-VIEW the bits, not value-cast (0.5 would become 16128.0)
+    mesh, e, _ = corpora
+    flat16 = ShardedFlatIndex(mesh, len(e), 32, dtype=jnp.bfloat16,
+                              method="exact")
+    flat16.set_embeddings(0, e)
+    ivf = ShardedIVFIndex.from_flat(flat16, n_lists=16, n_probe=16, iters=5)
+    assert ivf.clusters.dtype == jnp.bfloat16
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    v1, i1 = ivf.search(jnp.asarray(q), 8)
+    ivf.save(str(tmp_path / "ivf16"))
+    ivf2 = ShardedIVFIndex.load(str(tmp_path / "ivf16"), mesh)
+    assert ivf2.clusters.dtype == jnp.bfloat16
+    v2, i2 = ivf2.search(jnp.asarray(q), 8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

@@ -406,3 +406,28 @@ def test_gpt2_parity_and_generate():
         params, cfg, jnp.array(ids, jnp.int32), jnp.array(mask, jnp.int32),
         max_new_tokens=5, eos_id=1, pad_id=0))
     np.testing.assert_array_equal(ours, hf_gen)
+
+
+def test_greedy_min_new_tokens(lm_params):
+    """min_new_tokens suppresses EOS on the greedy path (regression: the
+    flag used to be honored only by beam search)."""
+    # rig the head so EOS (id 2) is always the argmax
+    rigged = jax.tree_util.tree_map(lambda x: x, lm_params)
+    rigged = dict(rigged)
+    rigged["lm_head"] = lm_params["lm_head"].at[:, 2].set(100.0)
+    ids = jnp.full((2, 4), 7, jnp.int32)
+    mask = jnp.ones((2, 4), jnp.int32)
+
+    out0 = np.asarray(greedy_generate(
+        rigged, TINY, ids, mask, max_new_tokens=6, eos_id=2, pad_id=0))
+    assert (out0[:, 0] == 2).all()  # eos immediately without a minimum
+
+    out3 = np.asarray(greedy_generate(
+        rigged, TINY, ids, mask, max_new_tokens=6, eos_id=2, pad_id=0,
+        min_new_tokens=3))
+    # HF MinNewTokensLength semantics: eos banned while generated < 3
+    # (the rigged logit only dominates at step 0, so just assert the ban:
+    # without the minimum eos fires immediately, with it the first 3 slots
+    # are real tokens)
+    assert (out3[:, :3] != 2).all()
+    assert (out3[:, :3] != 0).all()

@@ -284,10 +284,20 @@ def test_generate_beam_path(setup):
         assert not np.isin(out[:, 0], [eos, pad]).any()
 
         model.opt.decoder_prompt_format = "w9 {query}"
-        forced = model.generator_tokenizer.encode_batch(
-            ["w9 " + QUERIES[0]], 16, add_special=False)[0][0]
+        # regression: forced_len must be the REAL token count, not the
+        # padded target_maxlength row length (which would force the decoder
+        # to emit pads after the prefix)
+        fids, fmask = model.generator_tokenizer.encode_batch(
+            ["w9 " + QUERIES[0]], model.opt.target_maxlength,
+            add_special=False)
+        true_len = int(fmask[0].sum())
+        assert true_len < model.opt.target_maxlength
+        prefix, plens = model._forced_prefix(QUERIES, n_rows=4)
+        assert int(plens[0]) == true_len
+        assert prefix.shape[1] <= model.opt.target_maxlength
+        forced = np.asarray(prefix[0][: int(plens[0])])
         out2 = model.generate(params, QUERIES, passages, max_new_tokens=5)
-        np.testing.assert_array_equal(out2[0, :len(forced[:5])],
+        np.testing.assert_array_equal(out2[0, :min(5, len(forced))],
                                       forced[:5])
     finally:
         model.opt.generation_num_beams = 1
