@@ -70,7 +70,9 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             passages = [[{"title": "", "text": ""}] for _ in queries]
             ret_scores = np.zeros((len(queries), 1), np.float32)
         elif opt.use_file_passages:
-            passages = [p[: opt.n_context] for p in batch["passages"]]
+            # pads ragged per-example lists to a uniform n_context
+            passages = model._supplied_passages(batch["passages"],
+                                                opt.n_context)
             ret_scores = np.zeros((len(queries), len(passages[0])),
                                   np.float32)
         else:
@@ -85,16 +87,19 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             metrics["retrieval_recall"].append(
                 M.recall(texts, _answers_of(batch, i)))
 
-        # eval loss: generator CE of the gold target given each passage
-        from .data.prompts import build_training_batch
-
-        ids, labels, mask = build_training_batch(
-            model.generator_tokenizer, queries, passages, targets,
-            model.prompt_cfg)
-        per_seq = np.asarray(mode_eval_loss(
-            params, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray(labels)))
+        # eval loss: generator CE of the gold target given each passage —
+        # a full B*K generator forward, so only run it for tasks that
+        # actually report eval_loss (per-process jit, no collectives, so
+        # skipping it cannot desync SPMD programs)
         if "eval_loss" in metrics:
+            from .data.prompts import build_training_batch
+
+            ids, labels, mask = build_training_batch(
+                model.generator_tokenizer, queries, passages, targets,
+                model.prompt_cfg)
+            per_seq = np.asarray(mode_eval_loss(
+                params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(labels)))
             metrics["eval_loss"].extend(
                 per_seq.reshape(len(queries), -1).mean(-1).tolist())
 
@@ -170,12 +175,17 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
         is_eval=True)
     data_iterator = filter(None, map(task.process, data_iterator))
     batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
+    # every process must issue the same number of collective searches
+    # (short ranks get dummy batches — reference: evaluate.py:44-56)
+    batches = _pad_batches_across_processes(batches)
     t0 = time.time()
     n = 0
     for batch in batches:
         queries = batch["query"]
         _, _, passages = model.retrieve(index, params, queries,
                                         opt.retriever_n_context)
+        if batch.get("__dummy__"):
+            continue
         for i in range(len(queries)):
             texts = [p.get("text", "") for p in passages[i]]
             gold = _answers_of(batch, i)

@@ -48,6 +48,26 @@ from ._npio import np_load, np_save
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def gather_queries_across_processes(q) -> tuple[jax.Array, int, int]:
+    """Multi-process query gather for collective index search: pad this
+    process's (B_local, d) rows to the global max B, allgather over DCN
+    (reference: varsize_all_gather of queries, src/index.py:128), and
+    return (global (P*B_max, d) queries, this process's row offset,
+    B_local). Every process then runs the identical search program."""
+    from jax.experimental import multihost_utils
+
+    q = np.asarray(q)
+    b_local, d = q.shape
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.array([b_local], np.int32))).reshape(-1)
+    b_max = int(counts.max())
+    if b_local < b_max:
+        q = np.pad(q, ((0, b_max - b_local), (0, 0)))
+    all_q = np.asarray(
+        multihost_utils.process_allgather(q)).reshape(-1, d)
+    return jnp.asarray(all_q), jax.process_index() * b_max, b_local
+
+
 def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
                       shard_rows, n_padded, method, axes, transposed):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
@@ -200,12 +220,33 @@ class ShardedFlatIndex:
 
         queries: (B, d) on any device/sharding (will be replicated).
         Returns (scores (B, k) f32, global ids (B, k) int32), both replicated.
+
+        Multi-process: each process passes its OWN rows (B may differ per
+        process); queries are gathered across processes host-side (the
+        reference's varsize_all_gather, src/index.py:128), every process
+        runs the identical global program — required for SPMD correctness
+        of the cross-shard collectives — and gets back its own rows.
         """
         k = min(k, self.n_passages)
         q = jnp.asarray(queries, jnp.float32)
+        if jax.process_count() > 1:
+            return self._search_multiprocess(q, k)
+        return self._run_search(q, k)
+
+    def _run_search(self, q, k: int):
         if self.store_int8:
             return self._get_search_fn(k)(q, self.embeddings, self.scales)
         return self._get_search_fn(k)(q, self.embeddings)
+
+    def _search_multiprocess(self, q, k: int):
+        """Gather ragged per-process query batches (pad to the global max),
+        search the global batch on every process, return local rows."""
+        all_q, lo, b_local = gather_queries_across_processes(q)
+        scores, ids = self._run_search(all_q, k)
+        # slice on host: a device slice with per-process static bounds
+        # would issue a different program on each process
+        return (np.asarray(scores)[lo:lo + b_local],
+                np.asarray(ids)[lo:lo + b_local])
 
     def _get_search_fn(self, k: int):
         key = (k, self.n_passages)

@@ -268,14 +268,29 @@ class ShardedIVFIndex:
     def search(self, queries: jax.Array, k: int, n_probe: int | None = None):
         n_probe = min(n_probe or self.n_probe, self.n_lists)
         k = min(k, self.n_passages)
+        q = jnp.asarray(queries, jnp.float32)
+        if jax.process_count() > 1:
+            # collective SPMD search: gather per-process query rows, run
+            # the identical global program everywhere, keep local rows
+            # (see ShardedFlatIndex.search)
+            from .flat import gather_queries_across_processes
+
+            all_q, lo, b_local = gather_queries_across_processes(q)
+            scores, ids = self._run_search(all_q, k, n_probe)
+            # host-side slice: per-process static bounds on device would
+            # issue a different program on each process
+            return (np.asarray(scores)[lo:lo + b_local],
+                    np.asarray(ids)[lo:lo + b_local])
+        return self._run_search(q, k, n_probe)
+
+    def _run_search(self, q, k: int, n_probe: int):
         fn = self._get_search_fn(k, n_probe)
         extra = ()
         if self.storage == "sq8":
             extra = (self.scales,)
         elif self.storage == "pq":
             extra = (self.codebooks, self.pq_rotation)
-        return fn(jnp.asarray(queries, jnp.float32), self.centroids,
-                  self.clusters, self.ids, *extra)
+        return fn(q, self.centroids, self.clusters, self.ids, *extra)
 
     def _get_search_fn(self, k: int, n_probe: int):
         key = (k, n_probe)

@@ -52,11 +52,17 @@ def train(
     checkpoint_path = checkpoint_path or os.path.join(opt.checkpoint_dir,
                                                       opt.name)
     os.makedirs(checkpoint_path, exist_ok=True)
-    metrics_log = open(os.path.join(checkpoint_path, "metrics.jsonl"), "a")
+    # per-run artifact writers are process-0 only (same convention as the
+    # tb writer and checkpoints): N processes appending the same jsonl
+    # would interleave/duplicate every record
+    metrics_log = (open(os.path.join(checkpoint_path, "metrics.jsonl"), "a")
+                   if jax.process_index() == 0 else None)
     tb = _maybe_tb_writer(checkpoint_path)
 
     mode = train_mode_of(opt)
-    if not opt.use_file_passages and opt.load_index_path is None:
+    first_step = step + 1  # step is incremented before the refresh check
+    if (not opt.use_file_passages and not opt.closed_book
+            and opt.load_index_path is None):
         t0 = time.time()
         model.build_index(index, params)
         logger.info("Initial indexing time: %.3f min", (time.time() - t0) / 60)
@@ -122,9 +128,14 @@ def train(
                     logger.info("profiler trace written to %s/profile",
                                 checkpoint_path)
 
-            if (not opt.use_file_passages and
+            if (not opt.use_file_passages and not opt.closed_book and
                     refresh.is_time_to_refresh(step)):
-                if not (step == 0 and opt.load_index_path is not None):
+                # skip the first-seen refresh step when an index was just
+                # loaded (it already has the checkpointed weights' rows);
+                # `step` starts at resume_step+1 here, so compare against
+                # the run's first step, not 0
+                if not (step == first_step and
+                        opt.load_index_path is not None):
                     t0 = time.time()
                     if refresher is not None and step > 1:
                         # double-buffered: start the sweep; batches run
@@ -169,7 +180,7 @@ def train(
                     iter_stats[k] = (float(v), len(queries))
             run_stats.update(iter_stats)
 
-            if step <= opt.log_detail_num:
+            if step <= opt.log_detail_num and jax.process_index() == 0:
                 # step-level introspection dump (reference: train.py:228-230
                 # writes training_info_step{N}.json for --log_detail_num)
                 info = dict(getattr(model, "last_info", {}))
@@ -189,10 +200,11 @@ def train(
                 if "accept_rate" in avg:
                     log += f" | accept_rate:{avg['accept_rate']:.3f}"
                 logger.info(log)
-                metrics_log.write(json.dumps(
-                    {"step": step, **{k: float(v) for k, v in avg.items()}})
-                    + "\n")
-                metrics_log.flush()
+                if metrics_log is not None:
+                    metrics_log.write(json.dumps(
+                        {"step": step,
+                         **{k: float(v) for k, v in avg.items()}}) + "\n")
+                    metrics_log.flush()
                 if tb is not None:
                     for k, v in avg.items():
                         tb.add_scalar(k, float(v), step)
@@ -229,12 +241,14 @@ def train(
                         retriever_tokenizer=model.retriever_tokenizer)
                     logger.info("preemption checkpoint saved at step %d",
                                 step)
-                metrics_log.close()
+                if metrics_log is not None:
+                    metrics_log.close()
                 return params, opt_state, step
 
             if step >= opt.total_steps:
                 break
-    metrics_log.close()
+    if metrics_log is not None:
+        metrics_log.close()
     if tb is not None:
         tb.close()
     return params, opt_state, step

@@ -176,6 +176,10 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
                          batch["post_passage_mask"], is_passages=True,
                          rng=r_pp)
     post_scores = _doc_scores(post_q, post_p)  # (B, K)
+    if "post_valid" in batch:
+        # use_file mode can pad short supplied lists with duplicates;
+        # masked rows must not receive posterior mass
+        post_scores = jnp.where(batch["post_valid"], post_scores, NEG_INF)
     posterior_dist = jax.nn.softmax(
         post_scores / fns.temperature_score, axis=-1) + fns.eps
 
@@ -413,7 +417,12 @@ def mis_chain(rng, post_probs, prior_probs, log_lm, *, mis_step: int,
     )
     _, (sampled, accepts) = jax.lax.scan(
         chain_step, init, (proposals, uniforms))
-    accept_rate = jnp.mean(accepts[1:].astype(jnp.float32))
+    if accepts.shape[0] > 1:
+        accept_rate = jnp.mean(accepts[1:].astype(jnp.float32))
+    else:
+        # mis_step=1: only the always-accepted first step exists; a mean
+        # over the empty tail would be NaN and poison the run's stats
+        accept_rate = jnp.float32(1.0)
     return sampled, accept_rate
 
 

@@ -192,8 +192,12 @@ class RAGModel:
         dispatch latency dominates small training batches)."""
         from ..index.flat import ShardedFlatIndex
 
-        if self.opt.retrieve_with_rerank or not isinstance(
-                index, ShardedFlatIndex):
+        if (self.opt.retrieve_with_rerank
+                or not isinstance(index, ShardedFlatIndex)
+                or jax.process_count() > 1):
+            # multi-process: the fused fn would feed per-process queries
+            # into one collective program; index.search gathers queries
+            # across processes correctly, so use the two-call path
             post_ids, _, post_passages = self.retrieve(
                 index, params, post_queries, topk, posterior=True,
                 iter_stats=iter_stats)
@@ -203,9 +207,11 @@ class RAGModel:
         t0 = time.time()
         q_ids, q_mask = self.retriever_tokenize(queries)
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
-        # cache keyed on the index object: the fused fn bakes in that
-        # index's search closure and storage mode
+        # cache keyed on the index object AND its geometry: id() alone can
+        # be recycled by the allocator after the original index is freed,
+        # silently reusing a closure with stale shard offsets
         fn = self._jit(("retrieve_pair", topk, id(index),
+                        index.n_passages, index.shard_rows, str(index.dtype),
                         getattr(index, "store_int8", False)), lambda:
                        self._make_retrieve_pair_fn(index, topk))
         scales = (index.scales if getattr(index, "store_int8", False)
@@ -316,7 +322,18 @@ class RAGModel:
         an empty dummy passage, src/options.py post-parse)."""
         if self.opt.closed_book:
             return [[{"title": "", "text": ""}] for _ in file_passages]
-        return [list(p[:k]) for p in file_passages]
+        # pad ragged per-example lists to a uniform k (B*K reshapes
+        # downstream need a rectangle); examples supplying fewer passages
+        # repeat their last one — same rows, no shape crash
+        out = []
+        for p in file_passages:
+            row = list(p[:k])
+            if not row:
+                row = [{"title": "", "text": ""}]
+            while len(row) < k:
+                row.append(dict(row[-1]))
+            out.append(row)
+        return out
 
     def build_batch(self, mode: str, index, params, queries, targets,
                     iter_stats: dict | None = None, file_passages=None,
@@ -325,6 +342,11 @@ class RAGModel:
         ``filtering_fun`` is the task's anti-cheat filter
         (lm/mlm/section: src/tasks/base.py:97-132)."""
         topk = self.opt.n_context
+        if self.opt.closed_book and file_passages is None:
+            # closed-book needs no passage source at all (the index is
+            # never built); synthesize empty rows so the use_file branch
+            # supplies the dummy empty passage
+            file_passages = [[] for _ in queries]
         use_file = ((self.opt.use_file_passages or self.opt.closed_book)
                     and file_passages is not None)
         # retrieval queries have dialog speaker tags stripped
@@ -365,12 +387,13 @@ class RAGModel:
             # src/rag.py:1630-1706, 1831): the first 2*topk supplied passages
             # form the candidate union; no index round-trip
             width = 2 * topk
-            u_passages = []
+            u_passages = self._supplied_passages(file_passages, width)
+            # valid marks only genuinely supplied rows (the helper pads
+            # short lists with duplicates; giving pads probability mass
+            # would double-count passages in the MIS chain / softmax)
             valid = np.zeros((len(queries), width), bool)
-            for i, p in enumerate(
-                    self._supplied_passages(file_passages, width)):
-                valid[i, :len(p)] = True
-                u_passages.append(p + [p[0]] * (width - len(p)))
+            for i, p in enumerate(file_passages):
+                valid[i, :max(min(len(p), width), 1)] = True
             post_passages = [p[:topk] for p in u_passages]
             prior_passages = post_passages
             self.last_info = {"query": queries[0], "response": targets[0]}
@@ -413,6 +436,11 @@ class RAGModel:
                 "post_passage_mask": jnp.asarray(pp_mask),
                 "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
+            if use_file:
+                # supplied lists may be padded with duplicates; mask them
+                # out of the posterior softmax (modes.vrag_loss)
+                batch["post_valid"] = jnp.asarray(
+                    valid[:, :len(post_passages[0])])
             if self.opt.union_kl:
                 u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
                 batch.update({
@@ -426,9 +454,15 @@ class RAGModel:
             if not self.opt.unil_postandprior:
                 # candidate set = posterior top-k only, no prior union
                 # (reference: src/rag.py:1873-1875 / 1893-1896 falls back to
-                # posterior_topk scoring when unil_postandprior is off)
+                # posterior_topk scoring when unil_postandprior is off).
+                # use_file rows may contain pad duplicates -> keep the
+                # supplied-row mask; retrieved rows are all real
                 u_passages = post_passages
-                valid = np.ones((len(queries), len(post_passages[0])), bool)
+                if use_file:
+                    valid = valid[:, :len(post_passages[0])]
+                else:
+                    valid = np.ones(
+                        (len(queries), len(post_passages[0])), bool)
             u_ids, u_mask = self._tokenize_passage_matrix(u_passages)
             g = self._generator_rows(queries, u_passages, targets)
             batch = {

@@ -57,6 +57,29 @@ opt = Options(name="mp", checkpoint_dir={ckpt!r})
 rows = [{{"rank": rank, "i": i}} for i in range(2 if rank == 0 else 3)]
 save_distributed_dataset(rows, "preds", opt)
 
+# 5. collective sharded search with RAGGED per-process query batches:
+# each process passes its own rows; the index gathers queries across
+# processes, runs one identical global program, and returns local rows
+from jsa_rag_tpu.parallel.mesh import make_mesh
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+import jax.numpy as jnp
+mesh = make_mesh(n_data=1, n_index=jax.device_count())
+n, d = 4000, 32
+rng_np = np.random.default_rng(3)
+e = rng_np.standard_normal((n, d)).astype(np.float32)
+e /= np.linalg.norm(e, axis=1, keepdims=True)
+idx = ShardedFlatIndex(mesh, n, d, dtype=jnp.float32, method="exact")
+idx.set_embeddings(0, e)
+b_local = 3 if rank == 0 else 5
+gold = rng_np.integers(0, n, 16)[rank * 3: rank * 3 + b_local]
+q = e[gold] + 0.005 * rng_np.standard_normal((b_local, d)).astype(
+    np.float32)
+scores, ids = idx.search(jnp.asarray(q), 5)
+ids = np.asarray(ids)
+assert ids.shape == (b_local, 5), ids.shape
+oracle = np.argmax(q @ e.T, axis=1)
+assert (ids[:, 0] == oracle).all(), (ids[:, 0], oracle)
+
 print(f"WORKER{{rank}} OK")
 """
 
