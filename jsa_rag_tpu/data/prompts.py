@@ -76,7 +76,10 @@ def _condition_ids(tokenizer, cfg: PromptConfig, q: str, context: str
             text = f"{INSTRUCTION}\nInput:{context}\n"
         bos = [tokenizer.bos_id] if tokenizer.bos_id is not None else []
         return bos + _tok_ids(tokenizer, text, cfg.text_maxlength)
-    # llama / mistral
+    # llama / mistral. Note: cfg.dialog deliberately has no effect here —
+    # the reference applies the dialog framing only in its GPT branch
+    # (src/rag.py:371-387; the llama/mistral branch of get_condition_format
+    # has no dialog case), and we mirror that.
     text = f"[INST] {INSTRUCTION}\nInput:{context}"
     bos = [tokenizer.bos_id] if tokenizer.bos_id is not None else []
     return bos + _tok_ids(tokenizer, text, cfg.text_maxlength)
@@ -123,7 +126,9 @@ def build_training_batch(tokenizer, queries, passages, targets,
     for (q, context), t in zip(_rows(queries, passages, cfg), tgt_iter):
         cond = _condition_ids(tokenizer, cfg, q, context)
         qry = _query_ids(tokenizer, cfg, q)
-        tgt = _tok_ids(tokenizer, t, cfg.target_maxlength) + [tokenizer.eos_id]
+        tgt = _tok_ids(tokenizer, t, cfg.target_maxlength)
+        if tokenizer.eos_id is not None:
+            tgt = tgt + [tokenizer.eos_id]
         if len(cond) + len(qry) + len(tgt) > cfg.text_maxlength:
             keep = cfg.text_maxlength - (len(tgt) + len(qry))
             cond = cond[:max(keep, 0)]

@@ -93,11 +93,14 @@ class SimpleTokenizer:
         return " ".join(words)
 
     def to_dict(self) -> dict:
-        return {"vocab": self.vocab, "max_vocab": self.max_vocab}
+        return {"vocab": self.vocab, "max_vocab": self.max_vocab,
+                "frozen": self.frozen}
 
     @classmethod
     def from_dict(cls, d: dict) -> "SimpleTokenizer":
-        return cls(vocab=d["vocab"], max_vocab=d["max_vocab"])
+        # default frozen=False keeps old checkpoints loadable
+        return cls(vocab=d["vocab"], max_vocab=d["max_vocab"],
+                   frozen=bool(d.get("frozen", False)))
 
 
 class HFTokenizerWrapper:
@@ -108,9 +111,13 @@ class HFTokenizerWrapper:
         if self.t.pad_token is None:
             self.t.pad_token = self.t.eos_token or self.t.unk_token
         self.pad_id = self.t.pad_token_id
-        self.bos_id = getattr(self.t, "bos_token_id", None) or 0
-        self.eos_id = getattr(self.t, "eos_token_id", None) or 0
-        self.sep_id = getattr(self.t, "sep_token_id", None) or self.eos_id
+        # keep None when the tokenizer has no such token: `or 0` would
+        # smuggle token id 0 in as a fake bos/eos (prepended to every
+        # prompt / treated as a stop token by decode)
+        self.bos_id = getattr(self.t, "bos_token_id", None)
+        self.eos_id = getattr(self.t, "eos_token_id", None)
+        sep = getattr(self.t, "sep_token_id", None)
+        self.sep_id = sep if sep is not None else self.eos_id
 
     @property
     def vocab_size(self) -> int:

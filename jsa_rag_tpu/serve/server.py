@@ -90,11 +90,18 @@ class IndexServer:
                 except Exception as e:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
-                scores, ids = server.index.search(jnp.asarray(q), topk)
-                ids = np.asarray(ids)
-                docs = [[{k: v for k, v in server.store[int(i)].items()}
-                         for i in row] for row in ids]
-                self._send(200, [docs, np.asarray(scores).tolist()])
+                try:
+                    scores, ids = server.index.search(jnp.asarray(q), topk)
+                    ids = np.asarray(ids)
+                    # -1 marks unfilled slots (IVF with n_probe too small
+                    # for topk); a raw store[int(i)] would wrap to the LAST
+                    # passage via python negative indexing
+                    docs = [[({} if i < 0 else
+                              dict(server.store[int(i)]))
+                             for i in row] for row in ids]
+                    self._send(200, [docs, np.asarray(scores).tolist()])
+                except Exception as e:  # search/store failure -> JSON 500
+                    self._send(500, {"error": str(e)})
 
             def _rebuild(self, data):
                 if server.rebuild_fn is None:

@@ -13,6 +13,7 @@ class Task(BaseTask):
 
     def __init__(self, opt=None, tokenizer=None, *args, **kwargs):
         super().__init__()
+        self.decoder_only = getattr(opt, "decoder_only", True)
 
     def process(self, example, *args, **kwargs):
         clean_input = example["input"]
@@ -20,10 +21,19 @@ class Task(BaseTask):
         if "filename" in example and "fever" in example["filename"]:
             answers = ["true" if a == "SUPPORTS" else "false"
                        for a in answers]
+        if not answers:
+            # KILT dev lines can carry provenance-only outputs; skip like
+            # other tasks (returning None drops the example upstream)
+            return None
         clean_target = random.choice(answers)
         example["metadata"] = example.get("metadata", {})
-        example["query"] = f"question: {clean_input} answer: <extra_id_0>"
-        example["target"] = f"<extra_id_0> {clean_target}"
+        if self.decoder_only:
+            example["query"] = f"question: {clean_input} answer:"
+            example["target"] = clean_target
+        else:
+            example["query"] = (f"question: {clean_input} "
+                                f"answer: <extra_id_0>")
+            example["target"] = f"<extra_id_0> {clean_target}"
         example["answers"] = answers
         example["passages"] = [{"title": "", "text": ""}]
         example["metadata"]["clean_target"] = clean_target

@@ -68,6 +68,11 @@ class Task(BaseTask):
         num_nonnoise_tokens = length - num_noise_tokens
 
         def _get_span_lengths(num_items, num_segments):
+            if num_items <= 0:
+                # 0 items -> every span empty (the generic path below would
+                # fabricate a length-1 span and leak a token that should
+                # have been noised)
+                return [0] * num_segments
             positions = [i < (num_segments - 1) for i in range(num_items - 1)]
             random.shuffle(positions)
             positions.append(True)

@@ -30,13 +30,20 @@ class Task(BaseTask):
         self.tokenizer = tokenizer
         self.maximum_question_length = 356
         self.choices = string.ascii_uppercase[: opt.multiple_choice_num_options]
+        self.decoder_only = getattr(opt, "decoder_only", True)
 
     @staticmethod
     def get_multiple_choice_question_prompt(tokenizer, question, choices,
-                                            maximum_length=356):
+                                            maximum_length=356,
+                                            decoder_only=True):
         choices_wsep = " ".join(f"({L}) {T}" for L, T in choices.items()).strip()
+        # decoder-only: prompt ends at 'answer:' and the target is the bare
+        # letter, so the first generated/scored position IS the letter (the
+        # <extra_id_0> sentinel is the T5/FiD span marker; training it as a
+        # literal prefix makes choice-logit scoring read the wrong position)
+        tail = "answer:" if decoder_only else "answer: <extra_id_0>"
         prompt = (f"question: {question.strip()} options: {choices_wsep} "
-                  f"answer: <extra_id_0>")
+                  f"{tail}")
         # word-level truncation stand-in for the reference's token-level one
         words = prompt.split()
         if len(words) > maximum_length:
@@ -46,10 +53,13 @@ class Task(BaseTask):
     def process(self, example, *args, **kwargs):
         preprocessed_question = self.get_multiple_choice_question_prompt(
             self.tokenizer, example["question"], example["options"],
-            maximum_length=self.maximum_question_length)
+            maximum_length=self.maximum_question_length,
+            decoder_only=self.decoder_only)
+        target = (example["answer"] if self.decoder_only
+                  else f'<extra_id_0> {example["answer"]}')
         return {
             "query": preprocessed_question,
-            "target": f'<extra_id_0> {example["answer"]}',
+            "target": target,
             "choices": self.choices,
             "passages": [{"title": "", "text": ""}],
             "answers": [example["answer"]],

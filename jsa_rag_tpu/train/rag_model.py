@@ -530,9 +530,11 @@ class RAGModel:
         gids, gmask = build_generation_batch(
             self.generator_tokenizer, queries, passages, self.prompt_cfg)
         gen_params = self.fns.gen_params(params)
+        eos = self.generator_tokenizer.eos_id
         kw = dict(
             max_new_tokens=max_new_tokens or self.opt.generation_max_length,
-            eos_id=self.generator_tokenizer.eos_id,
+            # no eos token -> -1 never matches; decode runs to max length
+            eos_id=-1 if eos is None else eos,
             pad_id=self.generator_tokenizer.pad_id,
         )
         if self.opt.decoder_prompt_format:

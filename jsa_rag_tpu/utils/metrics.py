@@ -12,7 +12,6 @@ from typing import Callable, Sequence
 import numpy as np
 
 RE_ART = re.compile(r"\b(a|an|the)\b")
-RE_PUNC = re.compile(r"[!\"#$%&()*+,-./:;<=>?@\[\]\\^`{|}~_']")
 
 
 def normalize_answer(s: str) -> str:

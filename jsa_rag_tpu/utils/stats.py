@@ -47,12 +47,31 @@ class WeightedAvgStats:
             return self.stats
         from jax.experimental import multihost_utils
 
-        keys = sorted(self.raw_stats.keys())
+        # align the KEY SETS first: processes can hold different stats
+        # (e.g. a rank that saw only dummy batches has none), and gathering
+        # per-process-sorted arrays would misattribute or shape-mismatch
+        import json
+
+        payload = json.dumps(sorted(self.raw_stats.keys())).encode()
+        ln = np.asarray(multihost_utils.process_allgather(
+            np.array([len(payload)], np.int32))).reshape(-1)
+        buf = np.zeros(int(ln.max()) if len(ln) else 1, np.uint8)
+        buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        gathered = np.asarray(multihost_utils.process_allgather(buf))
+        keys: set = set()
+        for row, n in zip(gathered.reshape(len(ln), -1), ln):
+            keys.update(json.loads(row[: int(n)].tobytes().decode()))
+        keys = sorted(keys)
+        if not keys:
+            return {}
         vals = np.array(
-            [[self.raw_stats[k], self.total_weights[k]] for k in keys],
+            [[self.raw_stats.get(k, 0.0), self.total_weights.get(k, 0.0)]
+             for k in keys],
             np.float64,
-        )
-        summed = multihost_utils.process_allgather(vals).sum(axis=0)
+        ).reshape(len(keys), 2)
+        summed = np.asarray(
+            multihost_utils.process_allgather(vals)).reshape(
+                len(ln), len(keys), 2).sum(axis=0)
         return {k: summed[i, 0] / max(summed[i, 1], 1e-12)
                 for i, k in enumerate(keys)}
 

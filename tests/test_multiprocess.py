@@ -51,6 +51,14 @@ stats.update({{"m": (float(rank), 2.0), "only0": (7.0, 1.0 if rank == 0
 avg = stats.average_stats
 assert abs(avg["m"] - 0.5) < 1e-9, avg
 
+# 3b. DIVERGENT key sets: rank1 has no stats at all (a rank that saw only
+# dummy batches); the reduction must align on the key union, not crash
+stats2 = WeightedAvgStats()
+if rank == 0:
+    stats2.update({{"r0_only": (4.0, 2.0)}})
+avg2 = stats2.average_stats
+assert abs(avg2["r0_only"] - 4.0) < 1e-9, avg2
+
 # 4. save_distributed_dataset rank-merge with uneven row counts
 from jsa_rag_tpu.config import Options
 opt = Options(name="mp", checkpoint_dir={ckpt!r})

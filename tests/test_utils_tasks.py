@@ -351,3 +351,31 @@ def test_remove_speakers():
 
     assert remove_speakers("<speaker1> hi <speaker2> there") == "hi there"
     assert remove_speakers("plain question") == "plain question"
+
+
+def test_sentinel_gated_on_decoder_only():
+    """Regression: fever/kilt/multiple_choice hardcoded the T5 span
+    sentinel '<extra_id_0>' into targets, training decoder-only generators
+    to emit the literal sentinel text (EM pinned to 0) and misaligning
+    choice-logit scoring."""
+    t = get_task(_opt("fever"), None)
+    ex = t.process({"claim": "sky is blue", "label": "SUPPORTS"})
+    assert ex["target"] == "true"
+    assert "<extra_id_0>" not in ex["query"]
+
+    t = get_task(_opt("kilt"), None)
+    ex = t.process({"input": "who?", "output": [{"answer": "bob"}]})
+    assert ex["target"] == "bob"
+    assert "<extra_id_0>" not in ex["query"]
+    # provenance-only output rows are skipped, not crashed on
+    assert t.process({"input": "x", "output": [{"provenance": []}]}) is None
+
+    opt = _opt("multiple_choice")
+    opt.multiple_choice_num_options = 4
+    t = get_task(opt, None)
+    ex = t.process({"question": "q?", "options": {"A": "x", "B": "y",
+                                                  "C": "z", "D": "w"},
+                    "answer": "B"})
+    assert ex["target"] == "B"
+    assert "<extra_id_0>" not in ex["query"]
+    assert ex["query"].rstrip().endswith("answer:")
