@@ -36,20 +36,28 @@ def main(argv=None) -> None:
         PassageStore.synthetic(1024, seed=opt.seed)
     model, params, step = load_or_initialize_model(opt, store)
 
-    if opt.load_index_path:
+    if opt.closed_book or opt.use_file_passages:
+        # no retrieval at all: never embed the corpus
+        index = None
+    elif opt.load_index_path:
         index = load_index(opt.load_index_path, mesh,
                            expected_dim=model.retriever.cfg.bert.hidden)
     else:
         index = build_index_for(opt, len(store),
                                 model.retriever.cfg.bert.hidden, mesh)
         model.build_index(index, params)
-        if opt.save_index_path and jax.process_index() == 0:
+        if opt.save_index_path:
+            # all processes participate (the shards must be gathered
+            # collectively); writes happen on process 0 inside save()
             index.save(opt.save_index_path,
                        n_files=opt.save_index_n_shards)
 
     for data_path in opt.eval_data:
         name = os.path.basename(data_path)
-        if opt.closed_book or opt.task == "retrieval":
+        if opt.task == "retrieval" and not opt.closed_book:
+            # closed_book means generate WITHOUT retrieval; the reference
+            # gates retrieval-only eval on opt.retrieve_only
+            # (evaluate.py:378), never on closed_book
             metrics = run_retrieval_only(model, index, params, opt,
                                          data_path, step)
         else:

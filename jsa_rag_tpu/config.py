@@ -190,11 +190,13 @@ class Options:
         for f in dataclasses.fields(cls):
             v = getattr(ns, f.name)
             if f.name in ("scheduler_steps", "generation_min_length",
+                          "min_words_per_lm_instance",
                           "load_index_path", "save_index_path",
                           "retriever_pooling", "decoder_prompt_format") \
                     and v in ("none", "None", ""):
                 v = None
-            if f.name in ("scheduler_steps", "generation_min_length") and \
+            if f.name in ("scheduler_steps", "generation_min_length",
+                          "min_words_per_lm_instance") and \
                     isinstance(v, str):
                 v = int(v)
             kwargs[f.name] = v

@@ -48,6 +48,18 @@ from ._npio import np_load, np_save
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def fetch_global(arr, mesh: Mesh) -> np.ndarray:
+    """Host copy of a sharded global array. Single-process: plain
+    device_get. Multi-process: a collective replicate (all processes must
+    call this — device_get alone raises on non-addressable shards), after
+    which every process can read the full value."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(arr))
+    rep = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))(jnp.asarray(arr))
+    return np.asarray(rep)
+
+
 def gather_queries_across_processes(q) -> tuple[jax.Array, int, int]:
     """Multi-process query gather for collective index search: pad this
     process's (B_local, d) rows to the global max B, allgather over DCN
@@ -286,8 +298,14 @@ class ShardedFlatIndex:
         contract (src/index.py:62-88): reloadable under any worker count
         dividing the shard count.
         """
+        # collective fetch first (ALL processes participate), then write
+        # from process 0 only
+        host = fetch_global(self.embeddings, self.mesh)
+        scales = (fetch_global(self.scales, self.mesh)
+                  if self.store_int8 else None)
+        if jax.process_index() != 0:
+            return
         os.makedirs(path, exist_ok=True)
-        host = np.asarray(jax.device_get(self.embeddings))
         if self.transposed:
             host = np.ascontiguousarray(host[:, : self.n_passages].T)
         else:
@@ -296,8 +314,7 @@ class ShardedFlatIndex:
         for i, r in enumerate(rows):
             np_save(os.path.join(path, f"embeddings.{i}.npy"), r)
         if self.store_int8:
-            scales = np.asarray(
-                jax.device_get(self.scales))[: self.n_passages]
+            scales = scales[: self.n_passages]
             for i, r in enumerate(np.array_split(scales, n_files, axis=0)):
                 np_save(os.path.join(path, f"scales.{i}.npy"), r)
         meta = {

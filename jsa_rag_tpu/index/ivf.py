@@ -81,11 +81,8 @@ def auto_n_lists(n: int) -> int:
     return int(min(max(int(math.sqrt(max(n, 1))), 16), 2048))
 
 
-@functools.partial(jax.jit, static_argnames=("sharding",),
-                   donate_argnums=(0,))
-def _stage_rows(buf, block, start, sharding):
-    out = jax.lax.dynamic_update_slice(buf, block, (start, jnp.int32(0)))
-    return jax.lax.with_sharding_constraint(out, sharding)
+# staging writes share the flat index's row-update primitive
+from .flat import _update_rows as _stage_rows  # noqa: E402
 
 
 class ShardedIVFIndex:
@@ -96,9 +93,14 @@ class ShardedIVFIndex:
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
-        if jnp.dtype(dtype) == jnp.int8:
+        if jnp.dtype(dtype) == jnp.int8 and storage == "dense":
             # --index_dtype int8 + --index_mode ivf == the reference's ivfsq
+            # (only when no explicit storage was requested: an ivfpq index
+            # with --index_dtype int8 must stay pq, not be silently rebuilt
+            # as scalar quantization)
             storage, dtype = "sq8", jnp.bfloat16
+        elif jnp.dtype(dtype) == jnp.int8:
+            dtype = jnp.bfloat16
         if storage not in ("dense", "sq8", "pq"):
             raise ValueError(f"unknown IVF storage {storage!r}")
         if storage == "pq" and dim % code_size != 0:
@@ -251,6 +253,10 @@ class ShardedIVFIndex:
         assert getattr(self, "_staging", None) is not None, \
             "set_embeddings must run before finalize()"
         self.train(self._staging[: self.n_passages], **kw)
+        # free the f32 staging buffer: keeping it would double the index's
+        # HBM for its whole lifetime (and make later finalize() calls
+        # re-run k-means on stale rows)
+        self._staging = None
 
     @classmethod
     def from_flat(cls, flat, n_lists: int | None = None,
@@ -380,24 +386,32 @@ class ShardedIVFIndex:
 
     # -------------------------------------------------------------- save/load
     def save(self, path: str, n_files: int = 8) -> None:
+        from .flat import fetch_global
+
+        # collective fetch on ALL processes (sharded arrays span
+        # non-addressable devices multi-host); writes on process 0 only
+        centroids = fetch_global(self.centroids, self.mesh)
+        clusters = fetch_global(self.clusters, self.mesh)
+        ids = fetch_global(self.ids, self.mesh)
+        scales = (fetch_global(self.scales, self.mesh)
+                  if self.storage == "sq8" else None)
+        if self.storage == "pq":
+            codebooks = fetch_global(self.codebooks, self.mesh)
+            rotation = fetch_global(self.pq_rotation, self.mesh)
+        if jax.process_index() != 0:
+            return
         os.makedirs(path, exist_ok=True)
-        np_save(os.path.join(path, "centroids.npy"),
-                np.asarray(jax.device_get(self.centroids)))
-        clusters = np.asarray(jax.device_get(self.clusters))
-        ids = np.asarray(jax.device_get(self.ids))
+        np_save(os.path.join(path, "centroids.npy"), centroids)
         for i, (cb, ib) in enumerate(zip(
                 np.array_split(clusters, n_files),
                 np.array_split(ids, n_files))):
             np_save(os.path.join(path, f"clusters.{i}.npy"), cb)
             np_save(os.path.join(path, f"ids.{i}.npy"), ib)
         if self.storage == "sq8":
-            np_save(os.path.join(path, "scales.npy"),
-                    np.asarray(jax.device_get(self.scales)))
+            np_save(os.path.join(path, "scales.npy"), scales)
         elif self.storage == "pq":
-            np_save(os.path.join(path, "codebooks.npy"),
-                    np.asarray(jax.device_get(self.codebooks)))
-            np_save(os.path.join(path, "pq_rotation.npy"),
-                    np.asarray(jax.device_get(self.pq_rotation)))
+            np_save(os.path.join(path, "codebooks.npy"), codebooks)
+            np_save(os.path.join(path, "pq_rotation.npy"), rotation)
         meta = {"n_passages": self.n_passages, "dim": self.dim,
                 "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
                 "n_lists": self.n_lists, "n_probe": self.n_probe,

@@ -183,10 +183,13 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
     if opt.model_path and opt.model_path != "none":
         state = load_checkpoint(opt.model_path)
         restored = state["params"]
-        # posterior backfill from prior when absent in the checkpoint
-        # (reference: src/model_io.py:210-221)
+        # posterior backfill from the RESTORED prior when absent in the
+        # checkpoint (reference copies the trained retriever weights,
+        # src/model_io.py:210-221 — backfilling from the pre-restore init
+        # would hand the MIS chain an untrained proposal tower)
         if needs_posterior and "post_retriever" not in restored:
-            restored["post_retriever"] = params["post_retriever"]
+            restored["post_retriever"] = make_posterior(
+                restored["retriever"], decouple=opt.decouple_encoder)
         params = restored
         step = int(state["step"])
         logger.info("Restored checkpoint at step %d from %s", step,

@@ -176,7 +176,9 @@ long ps_build_from_jsonl(const char* jsonl_path, const char* out_path) {
   uint64_t pos = 0;
   long count = 0;
   while ((n = getline(&line, &cap, in)) != -1) {
-    if (n <= 1) continue;
+    // keep a record for EVERY line (even blank/malformed ones become
+    // empty-string records): skipping would shift all later ids off the
+    // "global passage id = line number" contract the header documents
     id.clear(); title.clear(); text.clear();
     extract_string_field(line, (size_t)n, "id", &id);
     extract_string_field(line, (size_t)n, "title", &title);
@@ -229,12 +231,29 @@ void* ps_open(const char* path) {
     close(fd);
     return nullptr;
   }
+  uint64_t count;
+  memcpy(&count, b + 4, 8);
+  // bounds-validate before trusting the header: a truncated/corrupt file
+  // (e.g. interrupted build) must fail cleanly, not SIGBUS on first read
+  uint64_t header = 4 + 8 + 8 * (count + 1);
+  if (count > ((uint64_t)st.st_size) / 8 ||
+      (uint64_t)st.st_size < header) {
+    munmap(base, st.st_size);
+    close(fd);
+    return nullptr;
+  }
+  const uint64_t* offs = reinterpret_cast<const uint64_t*>(b + 12);
+  if (offs[0] != header || offs[count] != (uint64_t)st.st_size) {
+    munmap(base, st.st_size);
+    close(fd);
+    return nullptr;
+  }
   Store* s = new Store();
   s->fd = fd;
   s->base = b;
   s->size = st.st_size;
-  memcpy(&s->count, b + 4, 8);
-  s->offsets = reinterpret_cast<const uint64_t*>(b + 12);
+  s->count = count;
+  s->offsets = offs;
   return s;
 }
 

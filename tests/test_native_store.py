@@ -75,3 +75,34 @@ def test_ingest_speed(tmp_path):
     dt = time.time() - t0
     assert n == 50_000
     assert dt < 10.0, f"ingest too slow: {dt:.1f}s for 50k lines"
+
+
+def test_blank_line_keeps_id_alignment(tmp_path):
+    """Regression: skipping blank/short lines shifted every later id off
+    the 'global passage id = line number' contract."""
+    path = tmp_path / "c.jsonl"
+    rows = [{"id": "0", "title": "a", "text": "x"},
+            None,  # blank line in the middle
+            {"id": "2", "title": "b", "text": "y"}]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(("" if r is None else json.dumps(r)) + "\n")
+    out = str(tmp_path / "s.bin")
+    n = native.build_store(str(path), out)
+    assert n == 3  # one record per LINE, blank included
+    st = native.NativePassageStore(out)
+    assert st[2]["title"] == "b"  # id 2 == line 2, not shifted to 1
+    assert st[1] == {"id": "", "title": "", "text": ""}
+
+
+def test_open_truncated_store_fails_cleanly(tmp_path, corpus):
+    path, rows = corpus
+    out = str(tmp_path / "full.bin")
+    native.build_store(path, out)
+    data = open(out, "rb").read()
+    for cut in (len(data) // 2, 13, 40):
+        trunc = str(tmp_path / f"t{cut}.bin")
+        with open(trunc, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(Exception):
+            native.NativePassageStore(trunc)

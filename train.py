@@ -56,7 +56,11 @@ def main(argv=None) -> None:
         PassageStore.synthetic(1024, seed=opt.seed)
     model, params, step = load_or_initialize_model(opt, store)
 
-    if opt.load_index_path:
+    if opt.closed_book or opt.use_file_passages:
+        # closed-book / supplied-passage training never queries an index;
+        # don't allocate (or later embed) one
+        index = None
+    elif opt.load_index_path:
         index = load_index(opt.load_index_path, mesh,
                            expected_dim=model.retriever.cfg.bert.hidden)
     else:
@@ -64,13 +68,27 @@ def main(argv=None) -> None:
                                 model.retriever.cfg.bert.hidden, mesh)
 
     tx, _ = set_optim(opt, params)
-    opt_state = tx.init(params)
+    if opt.shard_optim and mesh.devices.size > 1:
+        # fairscale-OSS capability (reference train.py:417-435): optimizer
+        # state sharded over the data axis instead of replicated
+        from jsa_rag_tpu.parallel.mesh import AXES
+        from jsa_rag_tpu.parallel.sharding import (fsdp_specs,
+                                                   sharded_opt_init)
+
+        specs = {k: fsdp_specs(v, mesh, axis=AXES.data)
+                 for k, v in params.items()}
+        with mesh:
+            opt_state = sharded_opt_init(tx, params, specs, mesh)
+    else:
+        opt_state = tx.init(params)
 
     params, opt_state, step = train(
         model, index, params, tx, opt_state, opt, step=step,
         evaluate_fn=evaluate,
     )
-    if opt.save_index_path and jax.process_index() == 0:
+    if opt.save_index_path and index is not None:
+        # all processes participate (collective shard gather inside);
+        # file writes happen on process 0 only
         index.save(opt.save_index_path, n_files=opt.save_index_n_shards)
     logger.info("done at step %d", step)
 
