@@ -149,9 +149,18 @@ def save_index_atlas_format(index, passages: list[dict], path: str, *,
     (src/index.py:62-88 save_index): fp16 (dim, n_i) torch tensors +
     pickled passage lists, reloadable by the reference under any worker
     count dividing ``total_saved_shards``."""
+    import jax
+
+    from .flat import fetch_global
+
     torch = _torch()
+    # collective fetch on ALL processes (sharded shards are not
+    # host-addressable cross-process); decode to f16 host-side
+    emb = fetch_global(index.embeddings_as_float(),
+                       index.mesh).astype(np.float16)
+    if jax.process_index() != 0:
+        return
     os.makedirs(path, exist_ok=True)
-    emb = np.asarray(index.embeddings_as_float()).astype(np.float16)
     n = emb.shape[0]
     if len(passages) != n:
         raise ValueError(f"{len(passages)} passages vs {n} embeddings")

@@ -91,6 +91,12 @@ class IncrementalIndexRefresher:
             if stop - start < bs:
                 ids = np.pad(ids, ((0, bs - (stop - start)), (0, 0)))
                 mask = np.pad(mask, ((0, bs - (stop - start)), (0, 0)))
+            # per-batch length bucketing, same policy as build_index:
+            # pad-to-512 would cost ~2.5x the encoder FLOPs per sweep on
+            # wiki-length passages (the <30-min build budget's main lever)
+            used = int(mask.sum(axis=1).max()) if mask.size else 1
+            b_len = min(-(-max(used, 1) // 64) * 64, ids.shape[1])
+            ids, mask = ids[:, :b_len], mask[:, :b_len]
             emb = self._encode(tower, jnp.asarray(ids), jnp.asarray(mask))
             self._staging, self._staging_scales = idx.write_block(
                 self._staging, self._staging_scales, start,

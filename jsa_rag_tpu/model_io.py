@@ -165,10 +165,10 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
     needs_posterior = (opt.gold_score_mode in ("vrag", "jsa")
                        and not opt.simplify_JSA)
     if needs_posterior:
-        post = make_posterior(prior, decouple=opt.decouple_encoder)
-        if opt.decouple_encoder:
-            post = {"query": post["query"]}  # passage tower grafted in-loss
-        params["post_retriever"] = post
+        # decouple: query tower only, passage grafted in-loss (the strip
+        # happens inside make_posterior)
+        params["post_retriever"] = make_posterior(
+            prior, decouple=opt.decouple_encoder)
 
     lora_cfg = None
     if opt.use_lora:

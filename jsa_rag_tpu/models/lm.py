@@ -118,12 +118,13 @@ def lm_init(rng: jax.Array, cfg: LMConfig) -> Params:
     return p
 
 
+# shared with the encoder, like `dropout` below (numerics must stay in
+# lockstep across both model families)
+from .bert import _layer_norm as _bert_layer_norm  # noqa: E402
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    return ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(
-        x.dtype)
+    return _bert_layer_norm(x, scale, bias, eps)
 
 
 def _rms_norm(x, scale, eps):
@@ -177,16 +178,19 @@ def _attention(layer, cfg: LMConfig, x, positions, bias, cache=None,
     else:
         new_cache = None
 
+    # grouped-query attention WITHOUT jnp.repeat of k/v: repeating the
+    # cache materializes heads/kv_heads x the KV bytes on every decode
+    # step (4x HBM traffic at the flagship 32/8 geometry); contract the
+    # grouped q directly against the shared kv heads instead
     rep = nh // nkv
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
+    qg = q.reshape(b, s, nkv, rep, hd)
     logits = jnp.einsum(
-        "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+        "bqgrd,bkgd->bgrqk", qg, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(hd))
-    logits = logits + bias
+    logits = logits + bias[:, None]  # bias (b, 1, q, k) -> (b, 1, 1, q, k)
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     probs = _dropout(probs, cfg.dropout, rng)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, s, nh * hd)
+    ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v).reshape(b, s, nh * hd)
     out = ctx @ layer["o_w"].astype(x.dtype)
     return out, new_cache
 
@@ -354,10 +358,12 @@ def lm_sequence_logprob(params, cfg, input_ids, attention_mask, labels,
 # ------------------------------------------------------------------ decoding
 def init_cache(cfg: LMConfig, batch: int, max_len: int):
     hd = cfg.head_dim
+    # gpt2 attention is full MHA: its cache holds cfg.heads kv heads
+    nkv = cfg.heads if cfg.arch == "gpt2" else cfg.kv_heads
     return [
         (
-            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
-            jnp.zeros((batch, max_len, cfg.kv_heads, hd), cfg.dtype),
+            jnp.zeros((batch, max_len, nkv, hd), cfg.dtype),
+            jnp.zeros((batch, max_len, nkv, hd), cfg.dtype),
         )
         for _ in range(cfg.layers)
     ]
@@ -436,7 +442,9 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
     # HF min_length semantics (reference passes generation_min_length to
     # generate, src/rag.py:2247-2258): suppress EOS until min_new_tokens
     # tokens have been emitted
-    if min_new_tokens > 0:
+    if min_new_tokens > 0 and eos_id >= 0:
+        # (eos_id=-1 means "no EOS token"; .at[:, -1] would wrap and ban
+        # the last vocab entry)
         last_logits = last_logits.at[:, eos_id].set(-jnp.inf)
     next_tok = jnp.argmax(last_logits, axis=-1)
     if forced_prefix is not None:

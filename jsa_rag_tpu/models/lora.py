@@ -21,9 +21,13 @@ import jax.numpy as jnp
 class LoRAConfig:
     rank: int = 8
     alpha: float = 16.0
-    # default target set mirrors src/model_io.py:160-168
+    # default target set mirrors src/model_io.py:160-168 (llama/mistral
+    # names) PLUS the gpt2 family's fused/MLP names — lora_init matches by
+    # presence, so each arch picks up its own projections (without the
+    # gpt2 names, a gpt2 generator would silently adapt only o_w)
     targets: tuple[str, ...] = (
-        "q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w"
+        "q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
+        "qkv_w", "fc_w", "proj_w",
     )
 
 
@@ -80,6 +84,4 @@ def lora_apply(params: dict, lora: dict, cfg: LoRAConfig,
 
 def lora_merge_export(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
     """Fold adapters into the base for checkpoint export."""
-    return jax.tree_util.tree_map(
-        lambda x: x, lora_apply(params, lora, cfg, train_base=True)
-    )
+    return lora_apply(params, lora, cfg, train_base=True)

@@ -89,14 +89,15 @@ def make_posterior(prior_params: Params, *, decouple: bool) -> Params:
 
     - ``decouple=False``: full independent copy of the prior
       (reference: ``copy.deepcopy(retriever)``, src/rag.py:88-93).
-    - ``decouple=True``: own query tower, passage tower *aliased* to the
-      prior's (reference: ``decouple_encoder``, src/retrievers.py:202-207).
-      The aliasing is by-reference; the train step is responsible for
-      de-duplicating shared leaves when building the optimizer tree.
+    - ``decouple=True``: query tower only — the shared passage tower is the
+      PRIOR's, grafted inside the loss (modes.ApplyFns.expand; reference:
+      ``decouple_encoder``, src/retrievers.py:202-207). Returning the alias
+      here would duplicate passage-tower memory/optimizer state and leave a
+      dead copy that weight decay slowly corrupts.
     """
     copied = jax.tree_util.tree_map(lambda x: x, prior_params)  # shallow copy
     if decouple and "passage" in prior_params:
-        copied["passage"] = prior_params["passage"]
+        return {k: v for k, v in copied.items() if k != "passage"}
     return copied
 
 

@@ -33,6 +33,11 @@ def kmeans(
     error. Empty clusters keep their previous centroid.
     """
     n, d = embeddings.shape
+    if n < n_clusters:
+        raise ValueError(
+            f"kmeans: {n_clusters} clusters but only {n} points — use fewer "
+            "lists (ShardedIVFIndex pads n_lists to a shard-count multiple; "
+            "for corpora this small the flat index is the right tool)")
     emb = embeddings.astype(jnp.float32)
     init_idx = jax.random.choice(key, n, (n_clusters,), replace=False)
     centroids = emb[init_idx]

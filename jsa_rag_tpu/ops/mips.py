@@ -31,16 +31,6 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-def _pad_rows(emb: jax.Array, multiple: int) -> tuple[jax.Array, int]:
-    """Pad the row (N) dimension of ``emb`` up to a multiple. Returns the
-    padded array and the original row count."""
-    n = emb.shape[0]
-    rem = (-n) % multiple
-    if rem:
-        emb = jnp.pad(emb, ((0, rem), (0, 0)))
-    return emb, n
-
-
 def _chunk_scores(q: jax.Array, e_chunk: jax.Array) -> jax.Array:
     """(B, d) x (C, d) -> (B, C) inner products in f32 on the MXU."""
     return jax.lax.dot_general(
@@ -51,7 +41,42 @@ def _chunk_scores(q: jax.Array, e_chunk: jax.Array) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _scan_rows(queries, embeddings, k, chunk, select):
+    """Stream row chunks via dynamic_slice: full chunks under lax.scan, the
+    remainder as its own static-size slice. No in-jit pad — padding to a
+    chunk multiple would COPY the whole index per search (~13 ms/call on a
+    multi-GB shard). ``select(scores, idx, width)`` narrows each chunk's
+    candidates (identity for exact, approx_max_k for approx)."""
+    b = queries.shape[0]
+    n, d = embeddings.shape
+    chunk = min(chunk, n)
+    n_full = (n // chunk) * chunk
+
+    def score(carry, start, width):
+        cs, ci = carry
+        e_c = jax.lax.dynamic_slice(embeddings, (start, jnp.int32(0)),
+                                    (width, d))
+        s = _chunk_scores(queries, e_c)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) + start
+        s, idx = select(s, idx, width)
+        all_s = jnp.concatenate([cs, s], axis=1)
+        all_i = jnp.concatenate([ci, idx], axis=1)
+        v, a = jax.lax.top_k(all_s, k)
+        return v, jnp.take_along_axis(all_i, a, axis=1)
+
+    carry = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    if n_full:
+        starts = jnp.arange(n_full // chunk, dtype=jnp.int32) * chunk
+        carry, _ = jax.lax.scan(
+            lambda c, st: (score(c, st, chunk), None), carry, starts)
+    if n - n_full:
+        carry = score(carry, jnp.int32(n_full), n - n_full)
+    return carry
+
+
 def mips_topk_exact(
     queries: jax.Array,
     embeddings: jax.Array,
@@ -71,34 +96,10 @@ def mips_topk_exact(
     Returns:
       (scores (B, k) f32, indices (B, k) int32), sorted descending by score.
     """
-    b, _ = queries.shape
     n = embeddings.shape[0]
     k = min(k, n)
-    chunk = min(chunk, _next_multiple(n, 128))
-    emb, n_true = _pad_rows(embeddings, chunk)
-    n_chunks = emb.shape[0] // chunk
-    emb_c = emb.reshape(n_chunks, chunk, emb.shape[1])
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
-
-    def body(carry, args):
-        cs, ci = carry
-        e_chunk, start = args
-        s = _chunk_scores(queries, e_chunk)
-        idx = col + start
-        s = jnp.where(idx < n_true, s, NEG_INF)
-        all_s = jnp.concatenate([cs, s], axis=1)
-        all_i = jnp.concatenate([ci, idx], axis=1)
-        v, a = jax.lax.top_k(all_s, k)
-        return (v, jnp.take_along_axis(all_i, a, axis=1)), None
-
-    init = (
-        jnp.full((b, k), NEG_INF, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
-    )
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (scores, idx), _ = jax.lax.scan(body, init, (emb_c, starts))
-    return scores, idx
+    return _scan_rows(queries, embeddings, k, chunk,
+                      lambda s, idx, width: (s, idx))
 
 
 @functools.partial(
@@ -117,36 +118,16 @@ def mips_topk_approx(
     Per-chunk recall >= ``recall_target``; end-to-end recall is at least that
     (elements lost per chunk are only those straddling the approx boundary).
     """
-    b, _ = queries.shape
     n = embeddings.shape[0]
     k = min(k, n)
-    chunk = min(chunk, _next_multiple(n, 128))
-    emb, n_true = _pad_rows(embeddings, chunk)
-    n_chunks = emb.shape[0] // chunk
-    emb_c = emb.reshape(n_chunks, chunk, emb.shape[1])
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
-
-    def body(carry, args):
-        cs, ci = carry
-        e_chunk, start = args
-        s = _chunk_scores(queries, e_chunk)
-        idx = col + start
-        s = jnp.where(idx < n_true, s, NEG_INF)
+    def select(s, idx, width):
+        if not width >= 2 * k:  # tiny tail: exact merge is cheaper
+            return s, idx
         v, a = jax.lax.approx_max_k(s, k, recall_target=recall_target)
-        gi = jnp.take_along_axis(idx, a, axis=1)
-        all_s = jnp.concatenate([cs, v], axis=1)
-        all_i = jnp.concatenate([ci, gi], axis=1)
-        v2, a2 = jax.lax.top_k(all_s, k)
-        return (v2, jnp.take_along_axis(all_i, a2, axis=1)), None
+        return v, jnp.take_along_axis(idx, a, axis=1)
 
-    init = (
-        jnp.full((b, k), NEG_INF, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
-    )
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (scores, idx), _ = jax.lax.scan(body, init, (emb_c, starts))
-    return scores, idx
+    return _scan_rows(queries, embeddings, k, chunk, select)
 
 
 def _next_multiple(x: int, m: int) -> int:
@@ -249,7 +230,7 @@ def mips_topk_t(
     raise ValueError(f"unknown MIPS method {method!r}")
 
 
-Method = Literal["auto", "exact", "approx", "pallas"]
+Method = Literal["auto", "exact", "approx", "pallas", "pallas2"]
 
 
 def mips_topk(
@@ -265,12 +246,19 @@ def mips_topk(
     TPU for large N, the exact scan otherwise."""
     n = embeddings.shape[0]
     if embeddings.dtype == jnp.int16:
-        # raw IEEE-half bits (fp16 storage): fused kernel with in-kernel
-        # decode — fp16 scoring precision at bf16 MXU speed
-        from .mips_pallas2 import mips_topk_pallas2_f16
+        # raw IEEE-half bits (fp16 storage)
+        if method in ("auto", "pallas", "pallas2"):
+            # fused kernel with in-kernel decode — fp16 scoring precision
+            # at bf16 MXU speed
+            from .mips_pallas2 import mips_topk_pallas2_f16
 
-        return mips_topk_pallas2_f16(queries.astype(jnp.float32),
-                                     embeddings, k)
+            return mips_topk_pallas2_f16(queries.astype(jnp.float32),
+                                         embeddings, k)
+        # explicit exact/approx (e.g. a recall oracle must not validate
+        # the pallas kernel against itself): decode the bits, then run
+        # the requested XLA path
+        embeddings = jax.lax.bitcast_convert_type(
+            embeddings, jnp.float16).astype(jnp.float32)
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         if on_tpu and embeddings.dtype == jnp.float16:

@@ -28,21 +28,43 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)),
-                                  tree)
+    """Host copy of a pytree. Multi-process: leaves sharded across hosts
+    are fetched with a collective replicate (ALL processes must call this;
+    bare device_get raises on non-addressable shards) — see
+    index.flat.fetch_global for the single-array version."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    multi = jax.process_count() > 1
+
+    def fetch(x):
+        if not hasattr(x, "sharding"):
+            return np.asarray(x)
+        if multi and isinstance(x.sharding, NamedSharding) \
+                and not x.is_fully_addressable:
+            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                x.sharding.mesh, P()))(x)
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 def save_checkpoint(path: str, name: str, step: int, params: dict,
                     opt_state: Any = None, options: Any = None,
                     tokenizer: Any = None,
                     retriever_tokenizer: Any = None) -> str:
-    """Write step dir + repoint ``latest``. Returns the step dir path."""
+    """Write step dir + repoint ``latest``. Returns the step dir path.
+
+    Multi-process: call on ALL processes (the host fetch is collective for
+    cross-host-sharded leaves, e.g. --shard_optim state); file writes
+    happen on process 0 only."""
     run_dir = os.path.join(path, name)
     step_dir = os.path.join(run_dir, f"step-{step}")
-    os.makedirs(step_dir, exist_ok=True)
     state = {"step": step, "params": _to_host(params)}
     if opt_state is not None:
         state["opt_state"] = _to_host(opt_state)
+    if jax.process_index() != 0:
+        return step_dir
+    os.makedirs(step_dir, exist_ok=True)
     with open(os.path.join(step_dir, "state.pkl"), "wb") as f:
         pickle.dump(state, f, protocol=4)
     if options is not None:
@@ -85,12 +107,22 @@ def load_checkpoint(path: str) -> dict:
 
 
 def symlink_force(target: str, link: str) -> None:
-    """Atomic-ish symlink replace (reference: src/model_io.py:334-343)."""
+    """Atomic symlink replace (reference: src/model_io.py:334-343).
+
+    Creates a temp-named link and os.replace()s it over the destination:
+    a crash can never leave the run without a ``latest`` link (the
+    unlink-then-symlink pattern has a window where resume-from-latest
+    would fail)."""
+    tmp = f"{link}.tmp.{os.getpid()}"
     try:
-        os.symlink(target, link)
-    except FileExistsError:
-        os.unlink(link)
-        os.symlink(target, link)
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def export_retriever(path: str, step: int, retriever_params: dict,

@@ -221,24 +221,30 @@ def train(
                         for k, v in metrics.items():
                             tb.add_scalar(f"{name}/{k}", float(v), step)
 
-            if step % opt.save_freq == 0 and jax.process_index() == 0:
+            if step % opt.save_freq == 0:
+                # all processes: the host fetch inside is collective for
+                # cross-host-sharded leaves (shard_optim); writes are
+                # process-0-only inside save_checkpoint
                 save_checkpoint(opt.checkpoint_dir, opt.name, step, params,
                                 opt_state if opt.save_optimizer else None,
                                 options=opt,
                                 tokenizer=model.generator_tokenizer,
                                 retriever_tokenizer=model.retriever_tokenizer)
-                export_retriever(checkpoint_path, step, params["retriever"],
-                                 tokenizer=model.retriever_tokenizer)
+                if jax.process_index() == 0:
+                    export_retriever(checkpoint_path, step,
+                                     params["retriever"],
+                                     tokenizer=model.retriever_tokenizer)
 
             if stop_requested["flag"]:
                 # preemption: checkpoint and exit cleanly; a restart with
-                # --model_path <run dir> resumes from here
+                # --model_path <run dir> resumes from here (all processes
+                # enter: the host fetch is collective, writes rank-0)
+                save_checkpoint(
+                    opt.checkpoint_dir, opt.name, step, params,
+                    opt_state if opt.save_optimizer else None,
+                    options=opt, tokenizer=model.generator_tokenizer,
+                    retriever_tokenizer=model.retriever_tokenizer)
                 if jax.process_index() == 0:
-                    save_checkpoint(
-                        opt.checkpoint_dir, opt.name, step, params,
-                        opt_state if opt.save_optimizer else None,
-                        options=opt, tokenizer=model.generator_tokenizer,
-                        retriever_tokenizer=model.retriever_tokenizer)
                     logger.info("preemption checkpoint saved at step %d",
                                 step)
                 if metrics_log is not None:

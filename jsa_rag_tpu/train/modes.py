@@ -196,7 +196,11 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
         # union-support KL: each side scores the union with its own towers
         # (design deviation from src/rag.py:2388-2430, which stacks
         # mixed-tower embeddings; with decouple_encoder both are the same
-        # passage tower, where the two coincide).
+        # passage tower, where the two coincide). Note BOTH KL branches
+        # deliberately mirror the reference's temperature usage: the CE
+        # weighting uses the tempered posterior (src/rag.py:1717) while
+        # the KL distributions are untempered (GetUnionKL softmaxes raw
+        # logits, :2420-2423; the simple branch's log_prior too, :1776).
         u_ids, u_mask = batch["union_passage_ids"], batch["union_passage_mask"]
         valid = batch["union_valid"]  # (B, U) bool
         prior_u = _embed_rows(r, params["retriever"], u_ids, u_mask,
@@ -212,8 +216,13 @@ def vrag_loss(fns: ApplyFns, params, batch, rng=None):
                       0.0), axis=-1))
     else:
         # prior scores on the posterior's top-k passages (post-tower embs,
-        # matching src/rag.py:1765-1782)
-        log_prior = jax.nn.log_softmax(_doc_scores(prior_q, post_p), axis=-1)
+        # matching src/rag.py:1765-1782); pad duplicates (use_file mode)
+        # are masked so they cannot siphon prior probability mass
+        prior_scores = _doc_scores(prior_q, post_p)
+        if "post_valid" in batch:
+            prior_scores = jnp.where(batch["post_valid"], prior_scores,
+                                     NEG_INF)
+        log_prior = jax.nn.log_softmax(prior_scores, axis=-1)
         kl = jnp.mean(jnp.sum(
             posterior_dist * (_safe_log(posterior_dist) - log_prior),
             axis=-1))
@@ -290,8 +299,10 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
             probabilities = empirical_distribution(sampled, u, last_k=k_last)
         if fns.mis_topk:
             # keep only the mis_topk most-sampled candidates (reference does
-            # not renormalize, src/rag.py:1981-1986)
-            thresh = -jnp.sort(-probabilities, axis=-1)[:, fns.mis_topk - 1]
+            # not renormalize, src/rag.py:1981-1986); clamp to the union
+            # width (mis_topk > U would index out of bounds)
+            topk = min(fns.mis_topk, probabilities.shape[-1])
+            thresh = -jnp.sort(-probabilities, axis=-1)[:, topk - 1]
             probabilities = jnp.where(
                 probabilities >= thresh[:, None], probabilities, 0.0)
 

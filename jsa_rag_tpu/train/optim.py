@@ -59,12 +59,17 @@ def _label_tree(params: dict, opt: Options) -> dict:
                     label = "retr"
                 elif tower in ("query", "shared"):
                     label = "lm"
-                elif key == "retriever" or opt.decouple_encoder:
-                    # prior passage tower at lr_retriever; the posterior's
-                    # own passage tower (non-decoupled) is untrained in the
-                    # reference (src/util.py:199-219) — kept frozen.
+                elif key == "retriever":
+                    # prior passage tower at lr_retriever
                     label = "retr"
                 else:
+                    # posterior passage tower: under decouple_encoder it is
+                    # an ALIAS of the prior's that the loss grafts from the
+                    # prior (modes.ApplyFns.expand) — zero grads, so a
+                    # trainable label would let AdamW weight-decay the copy
+                    # that posterior inference reads; non-decoupled it is
+                    # untrained in the reference (src/util.py:199-219).
+                    # Frozen either way.
                     label = "frozen"
                 lab[tower] = fill(tsub, label)
             labels[key] = lab

@@ -104,7 +104,10 @@ def test_make_posterior_decouple():
     ret = DualEncoderRetriever(cfg)
     prior = ret.init(jax.random.PRNGKey(2))
     post = make_posterior(prior, decouple=True)
-    assert post["passage"] is prior["passage"]
+    # decoupled: query tower ONLY — the shared passage tower is grafted
+    # from the prior inside the loss; carrying an alias here would
+    # duplicate optimizer state and rot under weight decay
+    assert "passage" not in post
     assert post["query"] is not prior  # own dict
     post2 = make_posterior(prior, decouple=False)
     # shallow copy: containers are fresh, array leaves shared (immutable)

@@ -124,6 +124,16 @@ def test_optimizer_label_groups():
     labels2 = _label_tree(params, opt2)
     assert labels2["retriever"]["query"]["w"] == "retr"
 
+    # regression: under decouple_encoder the posterior's passage tower is
+    # an ALIAS of the prior's that the loss grafts (zero grads) — a
+    # trainable label would let AdamW weight-decay the copy that posterior
+    # inference reads
+    opt3 = Options(separate_learning_rates=True, train_retriever=True,
+                   decouple_encoder=True)
+    labels3 = _label_tree(params, opt3)
+    assert labels3["post_retriever"]["passage"]["w"] == "frozen"
+    assert labels3["retriever"]["passage"]["w"] == "retr"
+
 
 def test_optimizer_two_groups_step():
     import optax
