@@ -118,7 +118,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
                         metrics[mk].append(mv)
                 ex = {"query": queries[i], "generation": pred,
                       "answers": gold, "choice_logits": logits,
-                      "passages": passages[i][:3]}
+                      "passages": passages[i]}
                 if "metadata" in batch:
                     ex["metadata"] = batch["metadata"][i]
                 dataset_wpred.append(ex)
@@ -146,7 +146,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
                 if k in metrics:
                     metrics[k].append(v)
             ex = {"query": queries[i], "generation": pred, "answers": gold,
-                  "passages": passages[i][:3]}
+                  "passages": passages[i]}
             if "metadata" in batch:
                 ex["metadata"] = batch["metadata"][i]
             dataset_wpred.append(ex)

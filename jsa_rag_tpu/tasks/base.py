@@ -39,11 +39,18 @@ class BaseTask:
 
         total_yielded = 0
         while not _stop():
+            saw_line = False
             for line in _iter():
+                saw_line = True
                 total_yielded += 1
                 if world_rank > -1 and total_yielded % world_size != world_rank:
                     continue
                 yield json.loads(line)
+            if not saw_line:
+                # fail fast on an empty dataset: the reference's repeat
+                # loop (src/tasks/base.py:28-47) would spin forever here
+                raise ValueError(
+                    f"no examples in {filenames} — empty dataset file?")
 
     @staticmethod
     def batch_iterator(data_iterator, batch_size, drop_last=False,

@@ -36,9 +36,23 @@ def main(ckpt_path: str, out_dir: str | None = None) -> None:
         gen = params["generator"]
         if "lora" in params:
             # merge adapters for export (models/lora.py::lora_merge_export)
+            # with the RUN'S rank/alpha from the checkpoint's options.json
+            # (the default config would mis-scale the delta by alpha/rank)
+            import json as _json
+
             from jsa_rag_tpu.models.lora import LoRAConfig, lora_merge_export
 
-            gen = lora_merge_export(gen, params["lora"], LoRAConfig())
+            cfg = LoRAConfig()
+            for d in (ckpt_path, os.path.join(ckpt_path, "latest")):
+                opt_path = os.path.join(d, "options.json")
+                if os.path.exists(opt_path):
+                    with open(opt_path) as f:
+                        o = _json.load(f)
+                    cfg = LoRAConfig(rank=int(o.get("lora_rank", cfg.rank)),
+                                     alpha=float(o.get("lora_alpha",
+                                                       cfg.alpha)))
+                    break
+            gen = lora_merge_export(gen, params["lora"], cfg)
         path = os.path.join(out_dir, "generator.pkl")
         with open(path, "wb") as f:
             pickle.dump(gen, f, protocol=4)

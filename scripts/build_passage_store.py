@@ -7,8 +7,11 @@ Replaces the reference's per-rank python dict corpus loading
 (src/index_io.py:17-47) for large corpora: ingestion is native C++
 (~1M lines/s) and lookup is an O(1) mmap read shared across processes."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jsa_rag_tpu.data.native_store import build_store
 

@@ -389,3 +389,14 @@ def test_sentinel_gated_on_decoder_only():
     assert ex["target"] == "B"
     assert "<extra_id_0>" not in ex["query"]
     assert ex["query"].rstrip().endswith("answer:")
+
+
+def test_empty_dataset_fails_fast(tmp_path):
+    """Regression: an empty jsonl used to spin the repeat loop forever."""
+    from jsa_rag_tpu.tasks.base import BaseTask
+
+    p = tmp_path / "empty.jsonl"
+    p.write_text("")
+    with pytest.raises(ValueError, match="no examples"):
+        list(BaseTask.data_iterator(str(p), 0, 2,
+                                    repeat_if_less_than_world_size=True))
