@@ -88,6 +88,25 @@ assert ids.shape == (b_local, 5), ids.shape
 oracle = np.argmax(q @ e.T, axis=1)
 assert (ids[:, 0] == oracle).all(), (ids[:, 0], oracle)
 
+# 6. multi-host checkpoint: a leaf sharded ACROSS processes must be
+# fetched collectively (bare device_get raises on non-addressable
+# shards) and written by process 0 only
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jsa_rag_tpu.parallel.mesh import AXES
+from jsa_rag_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+sharded = jax.jit(
+    lambda: jnp.arange(32.0).reshape(8, 4),
+    out_shardings=NamedSharding(mesh, P(AXES.index)))()
+assert not sharded.is_fully_addressable
+ck_params = {{"retriever": {{"w": sharded}}}}
+save_checkpoint({ckpt!r}, "mp2", 7, ck_params)
+if rank == 0:
+    st = load_checkpoint({ckpt!r} + "/mp2")
+    np.testing.assert_array_equal(
+        st["params"]["retriever"]["w"],
+        np.arange(32.0).reshape(8, 4))
+    assert st["step"] == 7
+
 print(f"WORKER{{rank}} OK")
 """
 
