@@ -29,6 +29,10 @@ class Options:
     log_detail_num: int = 0  # dump training_info_step{N}.json for first N
     eval_freq: int = 500
     save_freq: int = 5000
+    # retriever-encoder export cadence for external rebuild services
+    # (reference: train.py:335-372, default 500); 0 disables the extra
+    # cadence (exports still happen on save_freq)
+    save_build_retriever_step: int = 500
     seed: int = 0
     target_maxlength: int = 256
     text_maxlength: int = 512
@@ -71,7 +75,9 @@ class Options:
     n_context: int = 10
     retriever_n_context: int = 100
     retriever_format: str = "{title} {text}"
-    gold_score_mode: str = "jsa"  # rag | vrag | jsa | ppmean ...
+    # rag | vrag | jsa (the reference's extra score modes — ppmean etc. —
+    # are dead code there, src/rag.py:695-1285; the live four are matched)
+    gold_score_mode: str = "jsa"
     gen_method: str = "fast_deocde1"  # concat | fast_deocde1 | fast_deocde2
     temperature_score: float = 0.01
     temperature_gold: float = 0.01
@@ -147,6 +153,9 @@ class Options:
     # ----- mesh / TPU (new; replaces slurm/torchrun flags, src/slurm.py)
     mesh_data: int = 1
     mesh_index: int = 0  # 0 -> all remaining devices
+    # Megatron-style generator sharding over the index axis (train/step.py);
+    # params replicate (reference DDP, train.py:438-444) when off
+    tensor_parallel: bool = False
     eps: float = 1e-30  # numerical floor, reference's self.eps
     # capture a jax.profiler trace for steps [start, stop) into the run dir
     # (replaces the reference's wall-clock-only timers, SURVEY.md §5.1)

@@ -130,15 +130,22 @@ def export_retriever(path: str, step: int, retriever_params: dict,
     """Standalone query/passage tower export + ``lastest`` symlink
     (train.py:335-372 exports ``bge_{passage,query}_Embedding_Ret/step-N``
     with a ``lastest`` symlink for the gRPC rebuild service — name kept for
-    artifact-layout parity)."""
+    artifact-layout parity).
+
+    ALL processes must call this (the host fetch is collective for leaves
+    sharded across hosts, e.g. FSDP params); files are written by
+    process 0 only."""
     for tower in ("query", "passage", "shared"):
         if tower not in retriever_params:
+            continue
+        host_tower = _to_host(retriever_params[tower])
+        if jax.process_index() != 0:
             continue
         tower_root = os.path.join(path, f"{prefix}_{tower}_Embedding_Ret")
         step_dir = os.path.join(tower_root, f"step-{step}")
         os.makedirs(step_dir, exist_ok=True)
         with open(os.path.join(step_dir, "params.pkl"), "wb") as f:
-            pickle.dump(_to_host(retriever_params[tower]), f, protocol=4)
+            pickle.dump(host_tower, f, protocol=4)
         if tokenizer is not None and hasattr(tokenizer, "to_dict"):
             with open(os.path.join(step_dir, "tokenizer.json"), "w") as f:
                 json.dump(tokenizer.to_dict(), f)

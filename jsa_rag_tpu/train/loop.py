@@ -20,7 +20,6 @@ import time
 
 import jax
 import numpy as np
-import optax
 
 from ..config import Options
 from ..tasks import get_task
@@ -43,11 +42,22 @@ def train(
     tx,
     opt_state,
     opt: Options,
+    mesh=None,
     step: int = 0,
     evaluate_fn=None,
     checkpoint_path: str | None = None,
 ):
-    """Run the training loop; returns (params, opt_state, final_step)."""
+    """Run the training loop; returns (params, opt_state, final_step).
+
+    The train step runs sharded over ``mesh`` (batch over the ``data``
+    axis, params as placed by ``train.step.setup_params``) — the
+    production multi-chip path, not a demo (reference: DDP wrap +
+    all-reduce, train.py:416-444)."""
+    if mesh is None:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=opt.mesh_data,
+                         n_index=opt.mesh_index or None)
     run_stats = WeightedAvgStats()
     checkpoint_path = checkpoint_path or os.path.join(opt.checkpoint_dir,
                                                       opt.name)
@@ -77,12 +87,11 @@ def train(
 
         refresher = IncrementalIndexRefresher(
             model, index, batches_per_step=opt.incremental_refresh_batches)
-    vg = model.loss_and_grad_fn(mode)
+    from .step import host_batch_rows, make_batch_placer, make_train_step
 
-    @jax.jit
-    def apply_update(params, opt_state, grads):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    train_step = make_train_step(model.fns, mode, tx, mesh)
+    place_batch = make_batch_placer(mesh)
+    batch_rows = host_batch_rows(opt, mesh)
 
     profile_span = None
     if opt.profile_steps:
@@ -104,7 +113,9 @@ def train(
     except ValueError:
         pass  # not the main thread (e.g. tests)
 
-    rng = jax.random.PRNGKey(opt.seed + jax.process_index())
+    # the rng is an input to a GLOBAL jitted program: it must be identical
+    # on every process (per-row randomness comes from in-program splits)
+    rng = jax.random.PRNGKey(opt.seed)
     epoch = 0
     while step < opt.total_steps:
         epoch += 1
@@ -112,7 +123,7 @@ def train(
             opt.train_data, jax.process_index(), jax.process_count(),
             repeat_if_less_than_world_size=True, opt=opt)
         data_iterator = filter(None, map(task.process, data_iterator))
-        batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size,
+        batches = task.batch_iterator(data_iterator, batch_rows,
                                       drop_last=True, shuffle=True)
         for batch in batches:
             iter_stats: dict = {}
@@ -166,8 +177,9 @@ def train(
 
             t0 = time.time()
             with jax.profiler.StepTraceAnnotation("train", step_num=step):
-                (loss, aux), grads = vg(params, train_batch, sub)
-                params, opt_state = apply_update(params, opt_state, grads)
+                train_batch = place_batch(train_batch)
+                params, opt_state, loss, aux = train_step(
+                    params, opt_state, train_batch, sub)
             loss = float(loss)
             iter_stats["runtime/fwdbwd+update"] = (time.time() - t0, 1)
             iter_stats["runtime/train_step"] = (time.time() - t_step, 1)
@@ -221,6 +233,18 @@ def train(
                         for k, v in metrics.items():
                             tb.add_scalar(f"{name}/{k}", float(v), step)
 
+            if (opt.save_build_retriever_step
+                    and step % opt.save_build_retriever_step == 0
+                    and step % opt.save_freq != 0):
+                # retriever-encoder export on its OWN cadence (reference:
+                # train.py:335-372 feeds the external gRPC rebuild service
+                # every save_build_retriever_step); save_freq steps export
+                # below alongside the checkpoint. All processes enter (the
+                # host fetch is collective); writes are process-0-only
+                export_retriever(checkpoint_path, step,
+                                 params["retriever"],
+                                 tokenizer=model.retriever_tokenizer)
+
             if step % opt.save_freq == 0:
                 # all processes: the host fetch inside is collective for
                 # cross-host-sharded leaves (shard_optim); writes are
@@ -230,10 +254,9 @@ def train(
                                 options=opt,
                                 tokenizer=model.generator_tokenizer,
                                 retriever_tokenizer=model.retriever_tokenizer)
-                if jax.process_index() == 0:
-                    export_retriever(checkpoint_path, step,
-                                     params["retriever"],
-                                     tokenizer=model.retriever_tokenizer)
+                export_retriever(checkpoint_path, step,
+                                 params["retriever"],
+                                 tokenizer=model.retriever_tokenizer)
 
             if stop_requested["flag"]:
                 # preemption: checkpoint and exit cleanly; a restart with

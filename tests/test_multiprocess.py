@@ -107,6 +107,91 @@ if rank == 0:
         np.arange(32.0).reshape(8, 4))
     assert st["step"] == 7
 
+# 7. PRODUCTION sharded train step across processes (VERDICT r2 item 1):
+# the global batch is assembled from BOTH processes' local rows, params are
+# global replicated arrays, and after N steps the replicas are
+# bit-identical across processes AND match a single-program reference run
+# on the full concatenated batch (proves the cross-process gradient
+# reduction is real, not N diverging replicas)
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.model_io import load_or_initialize_model
+from jsa_rag_tpu.train.optim import set_optim
+from jsa_rag_tpu.train.step import (host_batch_rows, init_opt_state,
+                                    make_batch_placer, make_train_step,
+                                    setup_params)
+
+opt_t = Options(model_size="tiny", precision="fp32", use_lora=False,
+                gold_score_mode="jsa", n_context=2, mis_step=2,
+                text_maxlength=48, target_maxlength=8,
+                per_gpu_batch_size=1, dropout=0.0, mesh_data=2)
+store_t = PassageStore.synthetic(32, seed=0)
+model_t, params_t, _ = load_or_initialize_model(opt_t, store_t)
+mesh_t = make_mesh(n_data=2, n_index=jax.device_count() // 2)
+idx_t = ShardedFlatIndex(mesh_t, len(store_t),
+                         model_t.retriever.cfg.bert.hidden,
+                         dtype=jnp.float32, method="exact")
+model_t.build_index(idx_t, params_t)
+rows_local = host_batch_rows(opt_t, mesh_t)
+assert rows_local == 1, rows_local
+all_q = [f"what is w{{i}} about" for i in range(2)]
+all_t = [f"w{{i + 1}}" for i in range(2)]
+lo_q = all_q[rank * rows_local:(rank + 1) * rows_local]
+lo_t = all_t[rank * rows_local:(rank + 1) * rows_local]
+batch_local = {{k: np.asarray(v) for k, v in
+               model_t.build_batch("jsa", idx_t, params_t,
+                                   lo_q, lo_t).items()}}
+params_p, specs_t = setup_params(opt_t, params_t, mesh_t)
+tx_t, _ = set_optim(opt_t, params_p)
+st_t = init_opt_state(tx_t, params_p, specs_t, mesh_t)
+step_t = make_train_step(model_t.fns, "jsa", tx_t, mesh_t)
+placed = make_batch_placer(mesh_t)(batch_local)
+assert placed["gen_ids"].shape[0] == 2 * batch_local["gen_ids"].shape[0]
+rng_t = jax.random.PRNGKey(3)
+for _ in range(2):
+    rng_t, sub_t = jax.random.split(rng_t)
+    params_p, st_t, loss_t, _aux = step_t(params_p, st_t, placed, sub_t)
+assert np.isfinite(float(loss_t)), loss_t
+
+# replicas bit-identical: hash every replicated leaf's LOCAL copy
+import hashlib
+h = hashlib.sha256()
+for x in jax.tree_util.tree_leaves(params_p):
+    h.update(np.asarray(x.addressable_data(0)).tobytes())
+dig = np.frombuffer(h.digest(), dtype=np.uint8)
+from jax.experimental import multihost_utils as mhu
+digs = np.asarray(mhu.process_allgather(dig))
+assert (digs[0] == digs[1]).all(), "replicas diverged across processes"
+
+# reference: the SAME full batch trained in one local single-device
+# program (both processes can build it — all_q is shared); the
+# distributed result must match within fp-reassociation tolerance
+mesh_1 = make_mesh(n_data=1, n_index=1, devices=jax.local_devices()[:1])
+full_batch = {{}}
+for k in batch_local:
+    pieces = np.asarray(mhu.process_allgather(
+        np.ascontiguousarray(batch_local[k])))
+    full_batch[k] = pieces.reshape((-1,) + batch_local[k].shape[1:])
+params_r, specs_r = setup_params(Options(model_size="tiny",
+                                         precision="fp32",
+                                         use_lora=False,
+                                         gold_score_mode="jsa",
+                                         n_context=2, mis_step=2,
+                                         dropout=0.0), params_t, mesh_1)
+tx_r, _ = set_optim(opt_t, params_r)
+st_r = init_opt_state(tx_r, params_r, specs_r, mesh_1)
+step_r = make_train_step(model_t.fns, "jsa", tx_r, mesh_1)
+placed_r = make_batch_placer(mesh_1)(full_batch)
+rng_r = jax.random.PRNGKey(3)
+for _ in range(2):
+    rng_r, sub_r = jax.random.split(rng_r)
+    params_r, st_r, loss_r, _ = step_r(params_r, st_r, placed_r, sub_r)
+for a, b in zip(jax.tree_util.tree_leaves(params_p),
+                jax.tree_util.tree_leaves(params_r)):
+    np.testing.assert_allclose(np.asarray(a.addressable_data(0)),
+                               np.asarray(b.addressable_data(0)),
+                               atol=5e-4)
+
 print(f"WORKER{{rank}} OK")
 """
 

@@ -50,7 +50,19 @@ def main(argv=None) -> None:
     opt.dump(os.path.join(opt.checkpoint_dir, opt.name, "options.json"))
     logger.info("devices: %s", jax.devices())
 
-    mesh = make_mesh(n_data=opt.mesh_data,
+    n_data = opt.mesh_data
+    if jax.process_count() > 1 and n_data % jax.process_count() != 0:
+        if n_data == 1:
+            # reference DDP semantics: every rank is a dp worker
+            # (train.py:438-444); default the data axis to the world size
+            n_data = jax.process_count()
+            logger.info("multi-process run: mesh_data defaulted to %d",
+                        n_data)
+        else:
+            raise ValueError(
+                f"--mesh_data {n_data} must be a multiple of the process "
+                f"count {jax.process_count()}")
+    mesh = make_mesh(n_data=n_data,
                      n_index=opt.mesh_index or None)
     store = PassageStore.from_jsonl(opt.passages) if opt.passages else \
         PassageStore.synthetic(1024, seed=opt.seed)
@@ -67,23 +79,17 @@ def main(argv=None) -> None:
         index = build_index_for(opt, len(store),
                                 model.retriever.cfg.bert.hidden, mesh)
 
-    tx, _ = set_optim(opt, params)
-    if opt.shard_optim and mesh.devices.size > 1:
-        # fairscale-OSS capability (reference train.py:417-435): optimizer
-        # state sharded over the data axis instead of replicated
-        from jsa_rag_tpu.parallel.mesh import AXES
-        from jsa_rag_tpu.parallel.sharding import (fsdp_specs,
-                                                   sharded_opt_init)
+    # place params + optimizer state on the mesh per --shard_optim /
+    # --tensor_parallel (replicated by default — DDP parity), so the
+    # production train step below IS the sharded program
+    from jsa_rag_tpu.train.step import init_opt_state, setup_params
 
-        specs = {k: fsdp_specs(v, mesh, axis=AXES.data)
-                 for k, v in params.items()}
-        with mesh:
-            opt_state = sharded_opt_init(tx, params, specs, mesh)
-    else:
-        opt_state = tx.init(params)
+    params, specs = setup_params(opt, params, mesh)
+    tx, _ = set_optim(opt, params)
+    opt_state = init_opt_state(tx, params, specs, mesh)
 
     params, opt_state, step = train(
-        model, index, params, tx, opt_state, opt, step=step,
+        model, index, params, tx, opt_state, opt, mesh=mesh, step=step,
         evaluate_fn=evaluate,
     )
     if opt.save_index_path and index is not None:
