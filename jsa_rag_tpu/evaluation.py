@@ -70,16 +70,25 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             passages = [[{"title": "", "text": ""}] for _ in queries]
             ret_scores = np.zeros((len(queries), 1), np.float32)
         elif opt.use_file_passages:
-            # pads ragged per-example lists to a uniform n_context
-            passages = model._supplied_passages(batch["passages"],
-                                                opt.n_context)
-            ret_scores = np.zeros((len(queries), len(passages[0])),
-                                  np.float32)
+            # supplied-passage mode (reference: evaluate.py:187-204): score
+            # the supplied top-retriever_n_context with the LIVE towers,
+            # keep the top n_context by those scores
+            width = min(max(1, opt.retriever_n_context),
+                        max(1, max(len(p) for p in batch["passages"])))
+            pool = model._supplied_passages(batch["passages"], width)
+            scores = model.live_rescore(params, queries, pool)
+            order = np.argsort(-scores, axis=-1)[:, :opt.n_context]
+            ret_scores = np.take_along_axis(scores, order, axis=-1)
+            passages = [[pool[i][j] for j in order[i]]
+                        for i in range(len(queries))]
         else:
-            _, ret_scores, passages = model.retrieve(
+            _, _, passages = model.retrieve(
                 index, params, queries, opt.n_context,
                 batch_metadata=batch.get("metadata"),
                 filtering_fun=task_filter)
+            # selection scores come from the LIVE towers, not the index
+            # (stale between refreshes) — reference: evaluate.py:175-186
+            ret_scores = model.live_rescore(params, queries, passages)
 
         # substring recall over retrieved passages (evaluate.py:206-209)
         for i in range(len(queries)):
@@ -126,15 +135,13 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 
         # generation
         if opt.gen_method == "concat" or opt.concat_doc:
-            gen = model.generate(params, queries, passages,
-                                 max_new_tokens=opt.generation_max_length)
-            if not opt.concat_doc:
-                # per-passage prompts produce B*K rows; keep each query's
-                # top-ranked-passage row
-                k = len(passages[0])
-                best = gen.reshape(len(queries), k, -1)[:, 0]
-            else:
-                best = gen
+            # concat evaluates ONE passages-concatenated prompt per query
+            # (reference tokenize_casual4gen concat path, src/rag.py:533-538
+            # + method_generate passthrough, :2323) — also when concat_doc
+            # was off during training
+            best = model.generate(params, queries, passages,
+                                  max_new_tokens=opt.generation_max_length,
+                                  force_concat=True)
         else:
             best, _ = model.method_generate(
                 params, queries, passages, ret_scores,

@@ -285,7 +285,7 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
         probabilities = post_sg
         accept_rate = jnp.float32(1.0)
     else:
-        sampled, accept_rate = mis_chain(
+        sampled, accept_rate, chain_info = mis_chain(
             rng, post_sg, prior_sg, log_lm,
             mis_step=fns.mis_step,
             temperature_lm=fns.temperature_lm,
@@ -363,7 +363,7 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
                              + _safe_log(post_probs + fns.eps)), axis=-1)
     loss = jnp.mean(gen_term - retr_term)
     gen_loss_stat = jnp.mean(gen_term)
-    return loss, {
+    aux = {
         "loss/generator_loss": gen_loss_stat,
         "accept_rate": accept_rate,
         "train/post_entropy": _entropy(post_sg),
@@ -375,6 +375,14 @@ def jsa_loss(fns: ApplyFns, params, batch, rng):
         "debug/log_lm": log_lm[0],
         "debug/sample_probs": probabilities[0],
     }
+    if not fns.simplify_jsa:
+        # per-step chain introspection (reference: 'Proposed_doc'/'if_accept'
+        # /'Random_number' in training_info, src/rag.py:1887-1950 via
+        # train.py:228-230)
+        aux["debug/proposal_ids"] = chain_info["proposals"][:, 0]
+        aux["debug/accept_decisions"] = chain_info["accepts"][:, 0]
+        aux["debug/uniform_draws"] = chain_info["uniforms"][:, 0]
+    return loss, aux
 
 
 def mis_chain(rng, post_probs, prior_probs, log_lm, *, mis_step: int,
@@ -388,9 +396,11 @@ def mis_chain(rng, post_probs, prior_probs, log_lm, *, mis_step: int,
     so the stationary distribution is pi(z) ∝ prior(z) * exp(log_lm(z)/T_lm).
     The first step always accepts (src/rag.py:1930-1932).
 
-    Returns (sampled_ids (mis_step, B) int32, accept_rate scalar). The
-    accept-rate counts steps 2..n like the reference (total_turns starts at
-    i==1).
+    Returns (sampled_ids (mis_step, B) int32, accept_rate scalar,
+    chain_info dict with the per-step proposals / accept decisions /
+    uniform draws — the reference's training_info introspection fields,
+    train.py:228-230 populated at src/rag.py:1887-1950). The accept-rate
+    counts steps 2..n like the reference (total_turns starts at i==1).
     """
     b, _ = post_probs.shape
     rng, prop_rng, unif_rng = jax.random.split(rng, 3)
@@ -434,7 +444,9 @@ def mis_chain(rng, post_probs, prior_probs, log_lm, *, mis_step: int,
         # mis_step=1: only the always-accepted first step exists; a mean
         # over the empty tail would be NaN and poison the run's stats
         accept_rate = jnp.float32(1.0)
-    return sampled, accept_rate
+    info = {"proposals": proposals, "accepts": accepts,
+            "uniforms": uniforms}
+    return sampled, accept_rate, info
 
 
 def empirical_distribution(sampled, n_candidates: int, last_k: int | None = None):

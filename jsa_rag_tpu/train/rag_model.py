@@ -249,6 +249,26 @@ class RAGModel:
 
         return fn
 
+    def live_rescore(self, params, queries: list[str],
+                     passages: list[list[dict]]) -> np.ndarray:
+        """(B, K) retrieval scores from the LIVE towers: re-embed the
+        queries (prior query tower) and the passages (passage tower) and
+        dot them (reference: evaluate.py:175-186). Index search scores go
+        stale between refreshes; eval-time selection (fast_deocde1/2
+        weighting) must follow the current weights — and in use_file mode
+        the supplied passages have no index scores at all
+        (evaluate.py:187-204 scores them the same way)."""
+        q_emb = np.asarray(self.embed_queries(params, queries), np.float32)
+        p_ids, p_mask = self._tokenize_passage_matrix(passages)
+        fn = self._jit(("rescore_embed",), lambda: jax.jit(
+            lambda p, i, m: self.retriever.embed_passages(
+                p, i.reshape(-1, i.shape[-1]), m.reshape(-1, m.shape[-1]))))
+        p_emb = fn(params["retriever"], jnp.asarray(p_ids),
+                   jnp.asarray(p_mask))
+        b, k = len(passages), len(passages[0])
+        p_emb = np.asarray(p_emb, np.float32).reshape(b, k, -1)
+        return np.einsum("bh,bkh->bk", q_emb, p_emb)
+
     def _retrieve_rerank(self, index, params, q_emb, topk, posterior):
         """retrieve_with_rerank (src/rag.py:177-247): over-retrieve
         n_to_rerank, re-embed those passages with the live tower, re-sort."""
@@ -383,10 +403,15 @@ class RAGModel:
 
         post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries_r, targets)]
         if use_file:
-            # supplied-passage mode (reference: use_file_passages branches,
-            # src/rag.py:1630-1706, 1831): the first 2*topk supplied passages
-            # form the candidate union; no index round-trip
-            width = 2 * topk
+            # supplied-passage mode (reference: use_file_passages branches):
+            # the candidate pool is the supplied list capped at
+            # retriever_n_context (src/rag.py:1631,1877 — 100 flagship, NOT
+            # 2*n_context: with 100-passage files a 2*topk cap would drop
+            # 80% of the pool); no index round-trip. Static width = the
+            # batch's longest supplied list (up to the cap) so short files
+            # don't pad to the full cap
+            width = min(max(1, self.opt.retriever_n_context),
+                        max(1, max(len(p) for p in file_passages)))
             u_passages = self._supplied_passages(file_passages, width)
             # valid marks only genuinely supplied rows (the helper pads
             # short lists with duplicates; giving pads probability mass
@@ -518,7 +543,8 @@ class RAGModel:
         return loss_fn(params, batch, rng)
 
     # -------------------------------------------------------------- generation
-    def generate(self, params, queries, passages, *, max_new_tokens=None):
+    def generate(self, params, queries, passages, *, max_new_tokens=None,
+                 force_concat: bool = False):
         """Decode on (left-padded) prompts; (B or B*K, L_new) ids.
 
         Greedy when ``generation_num_beams == 1``, else HF-parity beam
@@ -526,9 +552,15 @@ class RAGModel:
         (reference: src/rag.py:2247-2258). ``decoder_prompt_format``
         constrains each row to emit its formatted query prefix first
         (prefix_allowed_tokens_fn, src/rag.py:2244-2274).
+        ``force_concat`` builds one passages-concatenated prompt per query
+        even when ``concat_doc`` is off (the reference's ``gen_method ==
+        'concat'`` evaluates the concatenated prompt, src/rag.py:533-538).
         """
+        cfg = self.prompt_cfg
+        if force_concat and not cfg.concat_doc:
+            cfg = dataclasses.replace(cfg, concat_doc=True)
         gids, gmask = build_generation_batch(
-            self.generator_tokenizer, queries, passages, self.prompt_cfg)
+            self.generator_tokenizer, queries, passages, cfg)
         gen_params = self.fns.gen_params(params)
         eos = self.generator_tokenizer.eos_id
         kw = dict(

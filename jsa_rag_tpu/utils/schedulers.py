@@ -9,6 +9,7 @@ grammar ("start-end:rate,...", plain int sugar, -1 = never).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import math
 
@@ -53,39 +54,74 @@ def make_lr_schedule(kind: str, lr: float, warmup: int, total: int,
     raise ValueError(f"unknown scheduler {kind!r}")
 
 
-class IndexRefreshScheduler:
-    def __init__(self, format_str: str, freeze_retriever_steps: int,
-                 train_retriever: bool):
-        self.format_str = format_str
-        self.train_retriever = train_retriever
-        self.freeze_retriever_steps = freeze_retriever_steps
-        self.steps2rates = self.parse_index_refresh_schedule_string(format_str)
+_NEVER = 2 ** 32  # a window span/period no real run reaches
 
-    @classmethod
-    def parse_index_refresh_schedule_string(cls, format_str: str):
-        parsed = []
-        if format_str == "-1":
-            parsed = [(0, 2**32, 2**32)]
-        elif format_str.isdigit():
-            parsed = [(0, 2**32, int(format_str))]
-        else:
-            for piece in format_str.split(","):
-                startend, rate = piece.split(":")
-                start, end = startend.split("-")
-                parsed.append((int(start), int(end), int(rate)))
-        return parsed
+
+@dataclasses.dataclass(frozen=True)
+class _RefreshWindow:
+    """One ``start-end:rate`` piece of a refresh schedule: inside
+    [start, stop) the index refreshes every ``every`` steps, counted from
+    the window's own start."""
+    start: int
+    stop: int
+    every: int
+
+    def covers(self, step: int) -> bool:
+        return self.start <= step < self.stop
+
+    def fires(self, step: int) -> bool:
+        return (step - self.start) % self.every == 0
+
+
+def parse_refresh_schedule(spec: str) -> list[_RefreshWindow]:
+    """Parse the ``--refresh_index`` grammar (same language as the
+    reference flag, src/util.py:114-161): comma-separated
+    ``start-end:rate`` windows (e.g. ``0-100:10,100-1000000:500``), with
+    two sugars — a bare integer means "every N steps forever" and ``-1``
+    means "never"."""
+    if spec == "-1":
+        return [_RefreshWindow(0, _NEVER, _NEVER)]
+    if spec.isdigit():
+        return [_RefreshWindow(0, _NEVER, int(spec))]
+    windows = []
+    for piece in spec.split(","):
+        span, _, every = piece.partition(":")
+        start, _, stop = span.partition("-")
+        windows.append(_RefreshWindow(int(start), int(stop), int(every)))
+    return windows
+
+
+class IndexRefreshScheduler:
+    """Decides, per training step, whether the in-loop index rebuild runs.
+
+    Decision table (matches the reference scheduler's behavior,
+    src/util.py:114-161):
+
+    - step 0 (the initial build) may always refresh;
+    - a run that never trains the retriever never refreshes after that
+      (the embeddings cannot have changed);
+    - steps inside ``--freeze_retriever_steps`` are skipped for the same
+      reason;
+    - otherwise the window covering the step decides via its rate;
+    - a step past the end of the schedule logs a warning and does not
+      refresh.
+    """
+
+    def __init__(self, spec: str, freeze_retriever_steps: int,
+                 train_retriever: bool):
+        self.spec = spec
+        self.windows = parse_refresh_schedule(spec)
+        self.freeze_retriever_steps = freeze_retriever_steps
+        self.train_retriever = train_retriever
 
     def is_time_to_refresh(self, step: int) -> bool:
-        if not (self.train_retriever or step == 0):
+        if step != 0 and (not self.train_retriever
+                          or step < self.freeze_retriever_steps):
             return False
-        if not step == 0 and step < self.freeze_retriever_steps:
+        window = next((w for w in self.windows if w.covers(step)), None)
+        if window is None:
+            logger.warning(
+                "step %d is beyond the refresh schedule %r; not refreshing",
+                step, self.spec)
             return False
-        for st, en, rate in self.steps2rates:
-            if st <= step < en:
-                steps_since_refresh_schedule_change = step - st
-                return (steps_since_refresh_schedule_change % rate) == 0
-        logger.warning(
-            "cant calculate refresh rate for step %d — step is beyond the "
-            "specified refresh schedule", step,
-        )
-        return False
+        return window.fires(step)

@@ -27,7 +27,7 @@ def test_mis_chain_uniform_lm_recovers_prior():
     prior = jnp.array([[0.5, 0.3, 0.15, 0.05]])
     post = jnp.array([[0.25, 0.25, 0.25, 0.25]])
     log_lm = jnp.zeros((1, 4))
-    sampled, rate = mis_chain(rng, post, prior, log_lm, mis_step=20000)
+    sampled, rate, _ = mis_chain(rng, post, prior, log_lm, mis_step=20000)
     probs = np.asarray(empirical_distribution(sampled, 4))[0]
     np.testing.assert_allclose(probs, np.asarray(prior)[0], atol=0.02)
     assert 0 < float(rate) <= 1
@@ -39,7 +39,7 @@ def test_mis_chain_targets_prior_times_lm():
     prior = jnp.array([[0.4, 0.3, 0.2, 0.1]])
     post = jnp.array([[0.1, 0.2, 0.3, 0.4]])
     log_lm = jnp.log(jnp.array([[0.05, 0.15, 0.3, 0.5]]))
-    sampled, _ = mis_chain(rng, post, prior, log_lm, mis_step=30000)
+    sampled, _, _ = mis_chain(rng, post, prior, log_lm, mis_step=30000)
     probs = np.asarray(empirical_distribution(sampled, 4))[0]
     target = np.asarray(prior)[0] * np.exp(np.asarray(log_lm)[0])
     target /= target.sum()
@@ -51,7 +51,7 @@ def test_mis_chain_proposal_equals_target_always_accepts():
     rng = jax.random.PRNGKey(2)
     prior = jnp.array([[0.4, 0.3, 0.2, 0.1]])
     log_lm = jnp.zeros((1, 4))
-    sampled, rate = mis_chain(rng, prior, prior, log_lm, mis_step=500)
+    sampled, rate, _ = mis_chain(rng, prior, prior, log_lm, mis_step=500)
     assert float(rate) == pytest.approx(1.0)
 
 
@@ -473,3 +473,37 @@ def test_filter_excludes_own_passage(setup):
         filtering_fun=filter_results_by_id)
     assert passages_f[0][0]["id"] != top1  # own chunk demoted
     assert len(passages_f[0]) == 3  # still topk results
+
+
+def test_use_file_union_width_parity(setup):
+    """use_file vrag/jsa candidate pool = supplied list capped at
+    retriever_n_context, NOT 2*n_context (VERDICT r2 item 4; reference
+    src/rag.py:1631,1877): all supplied passages enter the union."""
+    model, index, params = setup
+    model.opt.use_file_passages = True
+    old_rnc = model.opt.retriever_n_context
+    model.opt.retriever_n_context = 100
+    n_sup = 8  # > 2*n_context(=6) would have been truncated before
+    try:
+        supplied = [
+            [{"title": f"t{i}{j}", "text": f"supplied passage {i} {j}"}
+             for j in range(n_sup)]
+            for i in range(2)
+        ]
+        batch = model.build_batch("jsa", None, params, QUERIES, TARGETS,
+                                  file_passages=supplied)
+        # pool width = the batch's widest supplied list (under the cap)
+        assert batch["union_passage_ids"].shape[1] == n_sup
+        assert bool(np.asarray(batch["union_valid"]).all())
+        vg = model.loss_and_grad_fn("jsa")
+        (loss, _), _ = vg(params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+        # the cap applies when files supply more than retriever_n_context
+        model.opt.retriever_n_context = 5
+        batch = model.build_batch("jsa", None, params, QUERIES, TARGETS,
+                                  file_passages=supplied)
+        assert batch["union_passage_ids"].shape[1] == 5
+    finally:
+        model.opt.use_file_passages = False
+        model.opt.retriever_n_context = old_rnc
