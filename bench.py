@@ -113,12 +113,32 @@ def main():
     results = {name: measure(fn) for name, fn in methods.items()}
     best = max(results, key=results.get)
     qps = results[best]
+
+    # self-calibration (tunnel variance runs +-30% between sessions): the
+    # same-session qps of the BARE scoring matmul is the speed-of-light
+    # reference — headline/floor is comparable across rounds even when
+    # absolute numbers move
+    def matmul_only(q):
+        # the scoring matmul + a row-max epilogue (stable reference
+        # program; a bare (B, N) f32 output would add a 2.7 GB HBM write
+        # the fused kernel never does)
+        s = jax.lax.dot_general(
+            q, et, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.max(s, axis=1, keepdims=True), None
+
+    floor_qps = measure(lambda q: matmul_only(q)) if on_tpu else None
+
     tag = "_cpu_fallback" if os.environ.get("BENCH_CPU_FALLBACK") else ""
     print(json.dumps({
         "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs{tag}",
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / 10_000.0, 3),
+        # calibration context (VERDICT r2 item 9)
+        "n": n, "d": d, "b": b, "k": k, "method": best,
+        "matmul_floor_qps": round(floor_qps, 1) if floor_qps else None,
+        "frac_of_floor": round(qps / floor_qps, 3) if floor_qps else None,
     }))
 
 

@@ -153,8 +153,11 @@ class ShardedFlatIndex:
         self.store_f16_bits = jnp.dtype(dtype) in (jnp.float16, jnp.int16)
         self.store_int8 = jnp.dtype(dtype) == jnp.int8
         self.dtype = jnp.int16 if self.store_f16_bits else dtype
-        # dense storage is contraction-major (d, N); quantized row-major
-        self.transposed = not (self.store_f16_bits or self.store_int8)
+        # dense AND fp16-bits storage are contraction-major (d, N) — the
+        # fused kernels consume them MXU-direct (fp16 decodes its raw bits
+        # in-kernel, mips_pallas2_f16_t); int8 stays row-major for its
+        # per-row scale layout
+        self.transposed = not self.store_int8
         self.method = method
         self.n_passages = n_passages
         self.n_shards = mesh.devices.size
@@ -366,7 +369,10 @@ class ShardedFlatIndex:
         """Stored rows decoded to row-major f32 (bits/quantized/transposed
         storage included) — used by IVF training and analysis paths."""
         if self.transposed:
-            return self.embeddings[:, : self.n_passages].T.astype(jnp.float32)
+            e = self.embeddings[:, : self.n_passages]
+            if self.store_f16_bits or e.dtype == jnp.int16:
+                e = jax.lax.bitcast_convert_type(e, jnp.float16)
+            return e.T.astype(jnp.float32)
         e = self.embeddings[: self.n_passages]
         if self.store_f16_bits or e.dtype == jnp.int16:
             return jax.lax.bitcast_convert_type(

@@ -401,6 +401,134 @@ def _forward_with_cache(params, cfg, input_ids, attention_mask, positions,
     return _unembed(params, cfg, x), new_cache
 
 
+def _beam_attention(layer, cfg: LMConfig, x, positions, prompt_kv, gen_kv,
+                    onehot_anc, prompt_bias, gen_bias, t):
+    """One decode-step attention over a split prompt/gen cache with an
+    ANCESTRY-indirected gen segment (llama-family).
+
+    The prompt cache is (B, P, ...) — shared by all beams, never repeated
+    or reordered. The gen cache is (B*K, T, ...) write-only: each physical
+    beam row appends its own k/v; which physical row holds beam k's token
+    at position p is ``ancestry[b, k, p]``. Instead of reordering the
+    whole cache every step (the O(T^2) beam anti-pattern this replaces),
+    scores are computed against ALL K physical rows (K x extra MXU flops
+    on an S=1 query — negligible) and selected through the one-hot
+    ancestry; values contract through the same one-hot."""
+    bk, s, _ = x.shape  # s == 1
+    nh, nkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
+    b, kbeams, t_cap, _ = onehot_anc.shape
+    q = (x @ layer["q_w"].astype(x.dtype)).reshape(bk, s, nh, hd)
+    k_new = (x @ layer["k_w"].astype(x.dtype)).reshape(bk, s, nkv, hd)
+    v_new = (x @ layer["v_w"].astype(x.dtype)).reshape(bk, s, nkv, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k_new = _rope(k_new, positions, cfg.rope_theta)
+
+    ck, cv = gen_kv
+    ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0, 0))
+    kg = ck.reshape(b, kbeams, t_cap, nkv, hd)
+    vg = cv.reshape(b, kbeams, t_cap, nkv, hd)
+
+    rep = nh // nkv
+    qg = q.reshape(b, kbeams, nkv, rep, hd)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    pk, pv = prompt_kv
+    sp = jnp.einsum("bkgrd,bpgd->bkgrp", qg, pk,
+                    preferred_element_type=jnp.float32) * scale
+    sg_all = jnp.einsum("bkgrd,bjtgd->bkgrjt", qg, kg,
+                        preferred_element_type=jnp.float32) * scale
+    sg = jnp.einsum("bkgrjt,bktj->bkgrt", sg_all,
+                    onehot_anc.astype(jnp.float32))
+    logits = jnp.concatenate([
+        sp + prompt_bias[:, None, None, None, :],
+        sg + gen_bias[None, None, None, None, :],
+    ], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    wp, wg = probs[..., :pk.shape[1]], probs[..., pk.shape[1]:]
+    ctx_p = jnp.einsum("bkgrp,bpgd->bkgrd", wp, pv)
+    w_j = jnp.einsum("bkgrt,bktj->bkgrjt", wg, onehot_anc.astype(x.dtype))
+    ctx_g = jnp.einsum("bkgrjt,bjtgd->bkgrd", w_j, vg)
+    ctx = (ctx_p + ctx_g).reshape(bk, s, nh * hd)
+    return ctx @ layer["o_w"].astype(x.dtype), (ck, cv)
+
+
+def _gpt2_beam_attention(layer, cfg: LMConfig, x, prompt_kv, gen_kv,
+                         onehot_anc, prompt_bias, gen_bias, t):
+    """GPT2 variant of :func:`_beam_attention` (fused qkv, no rotary,
+    full MHA — treat every head as its own kv head, rep == 1)."""
+    bk, s, h = x.shape
+    nh, hd = cfg.heads, cfg.head_dim
+    b, kbeams, t_cap, _ = onehot_anc.shape
+    qkv = x @ layer["qkv_w"].astype(x.dtype) + layer["qkv_b"].astype(x.dtype)
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bk, s, nh, hd)
+    k_new = k_new.reshape(bk, s, nh, hd)
+    v_new = v_new.reshape(bk, s, nh, hd)
+
+    ck, cv = gen_kv
+    ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0, 0))
+    kg = ck.reshape(b, kbeams, t_cap, nh, hd)
+    vg = cv.reshape(b, kbeams, t_cap, nh, hd)
+
+    qg = q.reshape(b, kbeams, nh, 1, hd)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    pk, pv = prompt_kv
+    sp = jnp.einsum("bkgrd,bpgd->bkgrp", qg, pk,
+                    preferred_element_type=jnp.float32) * scale
+    sg_all = jnp.einsum("bkgrd,bjtgd->bkgrjt", qg, kg,
+                        preferred_element_type=jnp.float32) * scale
+    sg = jnp.einsum("bkgrjt,bktj->bkgrt", sg_all,
+                    onehot_anc.astype(jnp.float32))
+    logits = jnp.concatenate([
+        sp + prompt_bias[:, None, None, None, :],
+        sg + gen_bias[None, None, None, None, :],
+    ], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    wp, wg = probs[..., :pk.shape[1]], probs[..., pk.shape[1]:]
+    ctx_p = jnp.einsum("bkgrp,bpgd->bkgrd", wp, pv)
+    w_j = jnp.einsum("bkgrt,bktj->bkgrjt", wg, onehot_anc.astype(x.dtype))
+    ctx_g = jnp.einsum("bkgrjt,bjtgd->bkgrd", w_j, vg)
+    ctx = (ctx_p + ctx_g).reshape(bk, s, h)
+    out = ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
+    return out, (ck, cv)
+
+
+def _beam_decode_forward(params, cfg: LMConfig, tok, positions,
+                         prompt_cache, gen_cache, ancestry, prompt_bias, t):
+    """One beam decode step over the split prompt/gen cache. Returns
+    ((B*K, V) f32 logits, new gen_cache). See :func:`_beam_attention`."""
+    kbeams = ancestry.shape[1]
+    t_cap = gen_cache[0][0].shape[1]
+    x = _embed_in(params, cfg, tok, positions)
+    gen_bias = jnp.where(jnp.arange(t_cap) <= t, 0.0, -1e9).astype(
+        jnp.float32)
+    onehot_anc = jax.nn.one_hot(ancestry, kbeams, dtype=jnp.float32)
+    new_gen = []
+    for layer, pkv, gkv in zip(params["layers"], prompt_cache, gen_cache):
+        if cfg.arch == "gpt2":
+            a, ngc = _gpt2_beam_attention(
+                layer, cfg, _layer_norm(x, layer["ln1_s"], layer["ln1_b"]),
+                pkv, gkv, onehot_anc, prompt_bias, gen_bias, t)
+            x = x + a
+            hmid = _layer_norm(x, layer["ln2_s"], layer["ln2_b"])
+            hmid = jax.nn.gelu(
+                hmid @ layer["fc_w"].astype(x.dtype)
+                + layer["fc_b"].astype(x.dtype), approximate=True) \
+                @ layer["proj_w"].astype(x.dtype) \
+                + layer["proj_b"].astype(x.dtype)
+            x = x + hmid
+        else:
+            a, ngc = _beam_attention(
+                layer, cfg, _rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+                positions, pkv, gkv, onehot_anc, prompt_bias, gen_bias, t)
+            x = x + a
+            x = x + _mlp(layer, _rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+        new_gen.append(ngc)
+    x = _final_norm(params, cfg, x)
+    return _unembed(params, cfg, x)[:, -1], new_gen
+
+
 def _apply_forced_prefix(choice, t, forced_prefix, forced_len):
     """Force ``choice[b] = forced_prefix[b, t]`` while ``t < forced_len[b]``.
 
@@ -514,6 +642,13 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
     steps, with per-batch-row masking standing in for HF's early loop exit
     (a frozen finished set makes the extra steps no-ops).
 
+    Cache design: the prompt KV cache is computed once per batch row and
+    SHARED by all beams; the per-beam gen cache is write-only and indexed
+    through a (B, K, T) ancestry matrix — beam reorder permutes the
+    ancestry ints, not the cache (see :func:`_beam_attention`), removing
+    the per-step full-cache copy (the classic O(T^2) beam anti-pattern)
+    and the K-way prompt-cache duplication.
+
     ``input_ids`` must be LEFT-padded. Returns (B, max_new_tokens) ids of
     each batch row's best finished hypothesis (EOS included, pad after).
     """
@@ -521,24 +656,24 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
     k = num_beams
     k2 = 2 * k
     t_max = max_new_tokens
-    total = prompt_len + t_max
     neg = jnp.float32(-1.0e9)
 
-    # ---- prefill on (B,) rows; all beams share the prompt
-    cache = init_cache(cfg, b, total)
+    # ---- prefill on (B,) rows; all beams SHARE the prompt cache (it is
+    # never repeated k-ways or reordered — beam reorder permutes only the
+    # tiny ancestry matrix; see _beam_attention)
+    cache = init_cache(cfg, b, prompt_len)
     positions = positions_from_mask(attention_mask)
-    full_mask = jnp.concatenate(
-        [attention_mask,
-         jnp.zeros((b, t_max), attention_mask.dtype)], axis=1)
-    logits, cache = _forward_with_cache(
-        params, cfg, input_ids, full_mask, positions, cache,
-        cache_len=0, total_len=total,
+    logits, prompt_cache = _forward_with_cache(
+        params, cfg, input_ids, attention_mask, positions, cache,
+        cache_len=0, total_len=prompt_len,
     )
     vocab = logits.shape[-1]
     first_logits = jnp.broadcast_to(
         logits[:, -1][:, None], (b, k, vocab))            # (B, K, V)
-    cache = [(jnp.repeat(ck, k, axis=0), jnp.repeat(cv, k, axis=0))
-             for ck, cv in cache]                          # (B*K, ...)
+    gen_cache = init_cache(cfg, b * k, t_max)             # (B*K, T, ...)
+    ancestry = jnp.zeros((b, k, t_max), jnp.int32)
+    prompt_bias = jnp.where(attention_mask.astype(bool), 0.0,
+                            -1e9).astype(jnp.float32)      # (B, P)
     prompt_next_pos = positions[:, -1] + 1                 # (B,)
 
     run_scores = jnp.full((b, k), neg).at[:, 0].set(0.0)   # beam 0 only
@@ -551,7 +686,7 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
 
     def step(carry, t):
         logits, run_scores, seqs, fin_seqs, fin_scores, is_fin, unsat, \
-            cache, mask = carry
+            gen_cache, ancestry = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if min_new_tokens:
             logp = jnp.where(
@@ -595,21 +730,25 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
             merged_seqs, fsel[:, :, None], axis=1)
         new_is_fin = jnp.take_along_axis(merged_fin, fsel, axis=1)
 
-        # reorder the KV cache to the selected running beams
-        flat_src = (jnp.arange(b)[:, None] * k + sel_beam_src).reshape(-1)
-        new_cache = [(jnp.take(ck, flat_src, axis=0),
-                      jnp.take(cv, flat_src, axis=0)) for ck, cv in cache]
+        # beam reorder = permute the (B, K, T) int32 ancestry, NOT the KV
+        # cache (the O(T^2) full-cache jnp.take this replaces); the new
+        # token will be written at the selecting beam's own physical row
+        new_anc = jnp.take_along_axis(ancestry, sel_beam_src[:, :, None],
+                                      axis=1)
+        new_anc = jax.lax.dynamic_update_slice(
+            new_anc,
+            jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                             (b, k, 1)),
+            (0, 0, t))
 
         # decode the selected tokens (produces logits for step t+1; the
         # final iteration's forward is dead work, the price of a uniform scan)
-        mask = mask.at[:, prompt_len + t].set(1)
-        mask_bk = jnp.repeat(mask, k, axis=0)
         pos_bk = jnp.repeat(prompt_next_pos + t, k)[:, None]
-        step_logits, new_cache = _forward_with_cache(
-            params, cfg, sel_tok.reshape(b * k, 1), mask_bk, pos_bk,
-            new_cache, cache_len=prompt_len + t, total_len=total,
+        step_logits, new_gen_cache = _beam_decode_forward(
+            params, cfg, sel_tok.reshape(b * k, 1), pos_bk,
+            prompt_cache, gen_cache, new_anc, prompt_bias, t,
         )
-        new_logits = step_logits[:, -1].reshape(b, k, vocab)
+        new_logits = step_logits.reshape(b, k, vocab)
 
         # HF early-stop heuristic at the incremented length
         best_possible = new_run_scores[:, :1] / (
@@ -619,10 +758,11 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
         new_unsat = unsat & jnp.any(best_possible > worst_fin, axis=1)
 
         return (new_logits, new_run_scores, new_seqs, new_fin_seqs,
-                new_fin_scores, new_is_fin, new_unsat, new_cache, mask), None
+                new_fin_scores, new_is_fin, new_unsat, new_gen_cache,
+                new_anc), None
 
     carry = (first_logits, run_scores, seqs, fin_seqs, fin_scores, is_fin,
-             unsat, cache, full_mask)
+             unsat, gen_cache, ancestry)
     carry, _ = jax.lax.scan(step, carry, jnp.arange(t_max))
     fin_seqs = carry[3]
     return fin_seqs[:, 0]  # scores kept sorted desc; beam 0 is the best

@@ -210,6 +210,18 @@ def mips_topk_t(
     d=1024). ``pool_n``: static lower bound on valid columns for pallas
     candidate-pool sizing (see mips_topk_pallas2_t)."""
     n = embeddings_t.shape[1]
+    if embeddings_t.dtype == jnp.int16:
+        # raw IEEE-half bits, transposed (the production fp16 storage)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if method in ("pallas", "pallas2") or (method == "auto" and on_tpu):
+            from .mips_pallas2 import mips_topk_pallas2_f16_t
+
+            return mips_topk_pallas2_f16_t(
+                queries.astype(jnp.float32), embeddings_t, k,
+                valid_n=valid_n, pool_n=pool_n)
+        # explicit exact/approx oracle: decode, then the XLA column scan
+        embeddings_t = jax.lax.bitcast_convert_type(
+            embeddings_t, jnp.float16).astype(jnp.float32)
     if method == "auto":
         on_tpu = jax.devices()[0].platform == "tpu"
         method = "pallas2" if on_tpu and n >= 65536 else "exact"

@@ -284,6 +284,21 @@ def mips_topk_pallas2_t(
 
 
 # --------------------------------------------------------------------- fp16
+def _split_hilo_bf16(x_f32):
+    """Split f32 -> (hi, lo) bf16 pair with hi + lo == x to ~16 mantissa
+    bits, via INTEGER masking. The naive split
+    ``xh = x.astype(bf16); xl = x - xh.astype(f32)`` is silently destroyed
+    by XLA's excess-precision simplification (the bf16 round-trip is elided
+    and xl folds to zero — measured on hardware: the lo-term dot product
+    came back all-zero, degrading fp16 scoring to bf16, recall 0.995 vs
+    1.0). Masking the low mantissa bits with integer ops is opaque to that
+    rewrite; for fp16-sourced values (11 mantissa bits) hi+lo is exact."""
+    bits = jax.lax.bitcast_convert_type(x_f32, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-65536)), jnp.float32)
+    return hi.astype(jnp.bfloat16), (x_f32 - hi).astype(jnp.bfloat16)
+
+
 def _decode_f16_bits(bits_i32):
     """IEEE half stored as raw bits (int32-widened) -> f32, in integer ops
     (Mosaic has no f16 type). Subnormals flush to zero — harmless for
@@ -308,8 +323,7 @@ def _topt_f16_kernel(qh_ref, ql_ref, e_ref, out_s_ref, out_i_ref, *,
     bits = e_ref[:].astype(jnp.int32)
     bits = jnp.bitwise_and(bits, 0xFFFF)  # u16 payload in an int16 load
     x = _decode_f16_bits(bits)
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh, xl = _split_hilo_bf16(x)  # integer-masked: see _split_hilo_bf16
 
     def dot(a, bmat):
         return jax.lax.dot_general(
@@ -354,8 +368,7 @@ def mips_topk_pallas2_f16(
     t = _pool_t(k, n, tile_n, t_per_tile)
 
     q = queries.astype(jnp.float32)
-    qh = q.astype(jnp.bfloat16)
-    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qh, ql = _split_hilo_bf16(q)  # integer-masked: see _split_hilo_bf16
 
     b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
     tile_q = min(tile_q, b_pad)
@@ -412,6 +425,129 @@ def f16_to_bits(emb_f16: jax.Array) -> jax.Array:
     """f16 array -> int16 raw-bits array for fp16-bit index storage."""
     return jax.lax.bitcast_convert_type(
         emb_f16.astype(jnp.float16), jnp.int16)
+
+
+# ------------------------------------------------- fp16, transposed layout
+def _topt_f16_kernel_t(qh_ref, ql_ref, e_ref, nv_ref, out_s_ref, out_i_ref,
+                       *, t_per_tile: int, tile_n: int):
+    """fp16 scoring over a contraction-major (d, tile_n) raw-bits block:
+    the production storage layout (transposed, MXU-direct — see
+    ``_topt_kernel_t``) at fp16 precision (the recall-compliant storage,
+    reference memory parity src/index.py:52). Decode f16 bits -> f32,
+    split into bf16 hi+lo, q·x ≈ qh·xh + qh·xl + ql·xh — three bf16 MXU
+    matmuls instead of one, fp16-exact scores."""
+    nt = pl.program_id(1)
+    bits = e_ref[:].astype(jnp.int32)
+    bits = jnp.bitwise_and(bits, 0xFFFF)
+    x = _decode_f16_bits(bits)  # (d, tile_n) f32
+    xh, xl = _split_hilo_bf16(x)  # integer-masked: see _split_hilo_bf16
+
+    def dot(a, bmat):
+        return jax.lax.dot_general(
+            a, bmat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s = dot(qh_ref[:], xh) + dot(qh_ref[:], xl) + dot(ql_ref[:], xh)
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "pool_n", "tile_q", "tile_n", "t_per_tile",
+                     "interpret"),
+)
+def mips_topk_pallas2_f16_t(
+    queries: jax.Array,       # (B, d) f32
+    emb_bits_t: jax.Array,    # (d, N) int16: raw IEEE-half bits
+    k: int,
+    *,
+    valid_n: jax.Array | int | None = None,
+    pool_n: int | None = None,
+    tile_q: int = 256,
+    tile_n: int = 1024,
+    t_per_tile: int = 4,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused MIPS over a transposed fp16-bits (d, N) index — fp16 storage
+    (2 bytes/element, reference parity) + fp16 scoring precision in the
+    production contraction-major layout. ``valid_n``/``pool_n`` semantics
+    as in ``mips_topk_pallas2_t``. Default tile_n is halved vs the bf16
+    kernel: the in-kernel decode holds f32 + two bf16 copies of the tile
+    in VMEM."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, d = queries.shape
+    n = emb_bits_t.shape[1]
+    k = min(k, n)
+    if valid_n is None:
+        valid_n = n
+    nv = jnp.asarray(valid_n, jnp.int32).reshape(1)
+    tile_n = min(tile_n, _round_up(n, 128))
+    t = _pool_t(k, min(n, pool_n if pool_n is not None else n),
+                tile_n, t_per_tile)
+
+    q = queries.astype(jnp.float32)
+    qh, ql = _split_hilo_bf16(q)  # integer-masked: see _split_hilo_bf16
+
+    b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
+    tile_q = min(tile_q, b_pad)
+    b_pad = _round_up(b_pad, tile_q)
+    if b_pad != b:
+        qh = jnp.pad(qh, ((0, b_pad - b), (0, 0)))
+        ql = jnp.pad(ql, ((0, b_pad - b), (0, 0)))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        emb_bits_t = jnp.pad(emb_bits_t, ((0, 0), (0, n_pad - n)))
+    n_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topt_f16_kernel_t, t_per_tile=t,
+                               tile_n=tile_n)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_pad * n_pad * d,
+            bytes_accessed=b_pad * d * 4 + n_pad * d * 2
+            + b_pad * n_tiles * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qh, ql, emb_bits_t, nv)
+
+    cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    return _merge_candidates(cand_s, cand_i, k, b)
 
 
 # ---------------------------------------------------------------------- int8

@@ -72,10 +72,25 @@ class BaseTask:
             yield batch
 
     @staticmethod
-    def shuffle_iterator(dataset):
-        d = list(dataset)
-        random.shuffle(d)
-        yield from d
+    def shuffle_iterator(dataset, buffer_size: int = 65536, seed=None):
+        """Streaming reservoir shuffle: hold ``buffer_size`` examples and
+        emit a uniformly random one as each new example arrives (then drain
+        the buffer shuffled). Datasets smaller than the buffer get a full
+        Fisher-Yates shuffle; larger ones stream at O(buffer) memory — the
+        reference materializes the whole dataset per epoch
+        (random.shuffle over a list), the wrong shape for the 21M-scale
+        corpora the rest of the framework targets."""
+        rng = random.Random(seed) if seed is not None else random
+        buf = []
+        for example in dataset:
+            if len(buf) < buffer_size:
+                buf.append(example)
+                continue
+            j = rng.randrange(buffer_size)
+            buf[j], example = example, buf[j]
+            yield example
+        rng.shuffle(buf)
+        yield from buf
 
     def process(self, example, *args, **kwargs):
         assert "target" in example and isinstance(example["target"], str)

@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--configs", type=str, default="",
                     help="comma-separated config-name filter (default: all)")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="builds per config; run 0 warms compiles")
+    ap.add_argument("--warm_n", type=int, default=0,
+                    help="warm compiles with a small pre-build of this many "
+                         "passages instead of a full warm run (for the "
+                         "measured 1.3M single-pass sweep, --runs 1)")
     args = ap.parse_args()
 
     import jax
@@ -68,8 +74,11 @@ def main():
 
     store = wiki_like_store(args.n)
     tok = SimpleTokenizer()
-    # pre-build vocab so tokenize cost is steady-state
-    for t in store.texts():
+    # pre-build vocab so tokenize cost is steady-state (the synthetic
+    # vocab is 5k words; 50k passages cover it)
+    for j, t in enumerate(store.texts()):
+        if j >= 50_000:
+            break
         tok.encode(t, 8)
 
     mesh = make_mesh(n_data=1)
@@ -85,16 +94,28 @@ def main():
     if args.configs:
         want = set(args.configs.split(","))
         configs = [c for c in configs if c[0] in want]
-    print(f"# n={args.n} batch={args.batch} enc={args.layers}x{args.hidden}")
+    print(f"# n={args.n} batch={args.batch} enc={args.layers}x{args.hidden}",
+          flush=True)
     for name, kw in configs:
-        for run in range(2):  # run 0 warms compiles
+        if args.warm_n:
+            # warm every per-bucket compile on a small prefix, then one
+            # measured full-corpus pass (a full warm run would double a
+            # 25-minute 1.3M sweep)
+            warm_store = wiki_like_store(args.warm_n, seed=1)
+            warm_index = ShardedFlatIndex(mesh, len(warm_store), args.hidden)
+            build_index(warm_index, warm_store, encode, tok,
+                        batch_size=args.batch, max_length=512, **kw)
+            del warm_index
+        for run in range(args.runs):  # run 0 warms compiles (unless warm_n)
             stats = build_index(index, store, encode, tok,
                                 batch_size=args.batch, max_length=512,
                                 **kw)
         pps = stats["indexing/passages_per_sec"][0]
+        total = stats["runtime/indexing"][0]
         mins_21m = 21_000_000 / (pps * 16) / 60
-        print(f"{name:15s} {pps:8.1f} psgs/s/chip -> "
-              f"{mins_21m:5.1f} min for 21M on v5e-16")
+        print(f"{name:15s} {pps:8.1f} psgs/s/chip "
+              f"(measured {args.n} psgs in {total / 60:.1f} min) -> "
+              f"{mins_21m:5.1f} min for 21M on v5e-16", flush=True)
 
 
 if __name__ == "__main__":

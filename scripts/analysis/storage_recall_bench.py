@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Per-storage-mode recall + throughput at flagship geometry, on-chip.
+
+For each index storage mode (bf16/f16-bits transposed, f16-bits row-major,
+int8, plus the exact-f32 oracle) over a REALISTIC-SPECTRUM clustered corpus
+(power-law per-dimension variance — real sentence-encoder embeddings
+concentrate energy in a few hundred directions; see ivf_sweep.make_corpus),
+measures:
+
+- recall@20 and recall@100 against the exact f32 oracle (BASELINE.md bar:
+  >= 0.99 at both, at equal HBM vs the reference's fp16 GPU index,
+  src/index.py:52);
+- top-100 query throughput with the chained-dependency harness (tunnel-safe
+  timing, see .claude/skills/verify/SKILL.md).
+
+Everything is generated ON DEVICE (a 1.3M x 1024 f32 host upload wedges the
+axon relay); the corpus is regenerated deterministically from the same PRNG
+key per mode instead of keeping a 5.3 GB f32 copy resident.
+
+Usage (real chip):  timeout 1500 python scripts/analysis/storage_recall_bench.py
+CPU smoke:          JAX_PLATFORMS=cpu python ... --n 20000 --d 256 --b 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_300_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--clusters", type=int, default=4096)
+    ap.add_argument("--noise", type=float, default=0.25)
+    ap.add_argument("--spectrum", type=float, default=0.5)
+    ap.add_argument("--modes", default="bf16_t,f16_t,f16_row,int8")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jsa_rag_tpu.ops.mips import mips_topk_exact
+    from jsa_rag_tpu.ops.mips_pallas2 import (
+        f16_to_bits, mips_topk_pallas2, mips_topk_pallas2_f16,
+        mips_topk_pallas2_f16_t, mips_topk_pallas2_int8,
+        mips_topk_pallas2_t, quantize_int8,
+    )
+
+    n, d, b, k = args.n, args.d, args.b, args.k
+    n_pad = -(-n // 2048) * 2048
+    tq = 256 if b >= 256 else 128
+
+    @jax.jit
+    def make_corpus_f32(key):
+        """Clustered power-law-spectrum corpus, unit-norm rows, on device."""
+        kc, ka, kn = jax.random.split(key, 3)
+        w = (jnp.arange(d, dtype=jnp.float32) + 1.0) ** -args.spectrum
+        centers = jax.random.normal(kc, (args.clusters, d), jnp.float32) * w
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (n,), 0, args.clusters)
+        e = centers[assign] + args.noise * w * jax.random.normal(
+            kn, (n, d), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    @jax.jit
+    def make_queries(key, e):
+        """Realistic queries: perturbed corpus rows (near neighbours exist),
+        unit-norm."""
+        ki, kn = jax.random.split(key)
+        rows = jax.random.randint(ki, (b,), 0, n)
+        q = e[rows] + 0.3 * jax.random.normal(kn, (b, d), jnp.float32)
+        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+    key = jax.random.PRNGKey(0)
+    qkeys = [jax.random.PRNGKey(100 + t) for t in range(args.iters)]
+
+    # ---- oracle pass: exact f32 top-k for recall ground truth
+    e32 = make_corpus_f32(key)
+    q0 = make_queries(qkeys[0], e32)
+    q0_host = np.asarray(q0)
+    t0 = time.time()
+    _, oracle_ids = mips_topk_exact(q0, e32, k)
+    oracle_ids = np.asarray(oracle_ids)
+    print(f"# oracle exact-f32 pass: {time.time() - t0:.1f}s", flush=True)
+    del e32  # 5.3 GB at flagship geometry; modes regenerate from the key
+
+    # storage encodings derived from the SAME corpus
+    def enc_bf16_t(e):
+        et = e.astype(jnp.bfloat16).T
+        return jnp.pad(et, ((0, 0), (0, n_pad - n)))
+
+    def enc_f16_t(e):
+        bt = f16_to_bits(e.astype(jnp.float16)).T
+        return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
+
+    MODES = {
+        "bf16_t": (enc_bf16_t,
+                   lambda q, s: mips_topk_pallas2_t(
+                       q.astype(jnp.bfloat16), s, k, tile_q=tq, valid_n=n,
+                       pool_n=n)),
+        "f16_t": (enc_f16_t,
+                  lambda q, s: mips_topk_pallas2_f16_t(
+                      q, s, k, tile_q=tq, valid_n=n, pool_n=n)),
+        "f16_row": (lambda e: f16_to_bits(e.astype(jnp.float16)),
+                    lambda q, s: mips_topk_pallas2_f16(q, s, k, tile_q=tq)),
+        "bf16_row": (lambda e: e.astype(jnp.bfloat16),
+                     lambda q, s: mips_topk_pallas2(
+                         q.astype(jnp.bfloat16), s, k, tile_q=tq)),
+        "int8": (lambda e: quantize_int8(e),
+                 lambda q, s: mips_topk_pallas2_int8(q, s[0], s[1], k,
+                                                     tile_q=tq)),
+    }
+
+    def recall_at(ids, kk):
+        return float(np.mean([
+            len(set(ids[i][:kk]) & set(oracle_ids[i][:kk])) / kk
+            for i in range(b)]))
+
+    results = []
+    del q0, _
+    for mode in args.modes.split(","):
+        enc, search = MODES[mode]
+        store = jax.jit(lambda key: enc(make_corpus_f32(key)))(key)
+        jax.block_until_ready(store)
+
+        # recall on the oracle's query batch
+        q = jnp.asarray(q0_host)
+        _, ids = search(q, store)
+        ids = np.asarray(ids)
+        r20, r100 = recall_at(ids, 20), recall_at(ids, min(k, 100))
+
+        # throughput: chained batches, final fetch, minus host-fetch const
+        def chain(m):
+            carry = jnp.zeros((b, 1), jnp.float32)
+            for _ in range(m):
+                qt = jnp.asarray(q0_host) + carry * 0  # data dependency
+                v, _ = search(qt, store)
+                carry = carry + v[:, :1] * 1e-9
+            np.asarray(carry)
+
+        chain(2)  # warm every program in the chain
+        t0 = time.time()
+        chain(args.iters)
+        dt = time.time() - t0 - 0.026
+        qps = args.iters * b / max(dt, 1e-9)
+        bytes_per_el = {"bf16_t": 2, "f16_t": 2, "f16_row": 2,
+                        "bf16_row": 2, "int8": 1}[mode]
+        row = {"mode": mode, "recall@20": round(r20, 4),
+               "recall@100": round(r100, 4), "qps": round(qps, 1),
+               "hbm_gb": round(n * d * bytes_per_el / 2**30, 2),
+               "n": n, "d": d, "b": b, "k": k}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        del store
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -228,3 +228,63 @@ def test_transposed_valid_n_masks_tail():
         vs, vi = fn()
         assert np.asarray(vi).max() < n
         np.testing.assert_allclose(np.asarray(vs), ov, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas2_f16_transposed_matches_fp16_oracle():
+    """The transposed fp16-bits kernel (production default storage): scores
+    match f32(f16(e)) @ q to fp16 precision, valid_n masks the tile-pad
+    tail, and recall vs the fp16 oracle is exact at k <= pool."""
+    from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits,
+                                              mips_topk_pallas2_f16_t)
+    rng = np.random.default_rng(23)
+    b, n, n_alloc, d, k = 4, 300, 512, 64, 20
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e16 = e.astype(np.float16)
+    bits_t = np.zeros((d, n_alloc), np.int16)
+    bits_t[:, :n] = np.asarray(f16_to_bits(jnp.asarray(e16))).T
+    bits_t[:, n:] = np.float16(100.0).view(np.int16)  # garbage pad cols
+    vs, vi = mips_topk_pallas2_f16_t(
+        jnp.asarray(q), jnp.asarray(bits_t), k, valid_n=n, pool_n=n,
+        tile_q=8, tile_n=128, t_per_tile=8, interpret=True)
+    vi, vs = np.asarray(vi), np.asarray(vs)
+    assert vi.max() < n and vi.min() >= 0
+    s = q @ e16.astype(np.float32).T
+    oi = np.argsort(-s, axis=1)[:, :k]
+    ov = np.take_along_axis(s, oi, axis=1)
+    np.testing.assert_allclose(vs, ov, rtol=2e-3, atol=2e-3)
+    recall = np.mean([len(set(vi[i]) & set(oi[i])) / k for i in range(b)])
+    assert recall >= 0.95
+
+
+def test_flat_index_f16_default_layout_roundtrip(mesh_flat):
+    """fp16 flat index: transposed int16-bits storage end-to-end through
+    ShardedFlatIndex (search + save/load), CPU decode path."""
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    rng = np.random.default_rng(31)
+    n, d, k = 4000, 32, 10
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float16)
+    assert idx.transposed and idx.dtype == jnp.int16
+    idx.set_embeddings(0, e)
+    gold = rng.integers(0, n, 8)
+    q = e[gold] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    s, i = idx.search(jnp.asarray(q), k)
+    assert (np.asarray(i)[:, 0] == gold).all()
+    # fp16-precision scores, not bf16
+    oracle = np.take_along_axis(
+        q @ e.astype(np.float16).astype(np.float32).T,
+        np.asarray(i), axis=1)
+    np.testing.assert_allclose(np.asarray(s), oracle, rtol=2e-3, atol=2e-3)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        idx.save(tmp, n_files=3)
+        idx2 = ShardedFlatIndex.load(tmp, mesh_flat)
+        assert idx2.transposed and idx2.store_f16_bits
+        s2, i2 = idx2.search(jnp.asarray(q), k)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s),
+                                   rtol=1e-6)

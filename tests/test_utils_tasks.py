@@ -400,3 +400,23 @@ def test_empty_dataset_fails_fast(tmp_path):
     with pytest.raises(ValueError, match="no examples"):
         list(BaseTask.data_iterator(str(p), 0, 2,
                                     repeat_if_less_than_world_size=True))
+
+
+def test_shuffle_iterator_streams_large_datasets():
+    """Streaming reservoir shuffle: O(buffer) memory, exact permutation
+    (every input exactly once), uniform-ish head mixing."""
+    from jsa_rag_tpu.tasks.base import BaseTask
+
+    data = list(range(10_000))
+    out = list(BaseTask.shuffle_iterator(iter(data), buffer_size=256,
+                                         seed=7))
+    assert sorted(out) == data          # a permutation, nothing lost
+    assert out != data                  # actually shuffled
+    # small datasets: full shuffle
+    small = list(BaseTask.shuffle_iterator(iter(range(10)), seed=3))
+    assert sorted(small) == list(range(10))
+    # mixing is window-local: the head draws from its read window
+    # (position + buffer), not just its own range
+    head = out[:2000]
+    assert any(x > 2000 for x in head)
+    assert max(head) <= 2000 + 256
