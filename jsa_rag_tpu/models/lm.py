@@ -544,7 +544,8 @@ def _apply_forced_prefix(choice, t, forced_prefix, forced_len):
 def greedy_generate(params: Params, cfg: LMConfig, input_ids,
                     attention_mask, *, max_new_tokens: int,
                     eos_id: int, pad_id: int, min_new_tokens: int = 0,
-                    forced_prefix=None, forced_len=None) -> jax.Array:
+                    forced_prefix=None, forced_len=None,
+                    return_logprobs: bool = False):
     """Greedy decode with preallocated KV cache.
 
     ``input_ids`` must be LEFT-padded (reference: tokenize_casual4gen pads
@@ -553,6 +554,12 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
     ``forced_prefix``/``forced_len``: optional (B, P) int32 + (B,) int32
     decoder-prompt constraint (reference decoder_prompt_format,
     src/rag.py:2244-2274).
+
+    ``return_logprobs``: also return the (B, max_new_tokens) f32 log-prob
+    of each emitted token (0 after EOS) — the reference's
+    ``output_scores=True`` capture that fast_deocde1/2 consume
+    (src/rag.py:2286-2292); having decode emit them saves the eval
+    harness a second scoring forward.
     """
     b, prompt_len = input_ids.shape
     total = prompt_len + max_new_tokens
@@ -578,11 +585,14 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
     if forced_prefix is not None:
         next_tok = _apply_forced_prefix(next_tok, 0, forced_prefix,
                                         forced_len)
+    next_lp = jnp.take_along_axis(
+        jax.nn.log_softmax(last_logits, axis=-1),
+        next_tok[:, None], axis=-1)[:, 0]
     next_pos = positions[:, -1] + 1
     done = next_tok == eos_id
 
     def step(carry, t):
-        tok, pos, mask, cache, done = carry
+        tok, lp, pos, mask, cache, done = carry
         mask = mask.at[:, prompt_len + t].set(1)
         logits, cache = _forward_with_cache(
             params, cfg, tok[:, None], mask, pos[:, None], cache,
@@ -599,16 +609,22 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
         if forced_prefix is not None:
             new_tok = _apply_forced_prefix(new_tok, t + 1, forced_prefix,
                                            forced_len)
+        new_lp = jnp.take_along_axis(
+            jax.nn.log_softmax(step_logits, axis=-1),
+            new_tok[:, None], axis=-1)[:, 0]
         new_tok = jnp.where(done, pad_id, new_tok)
+        new_lp = jnp.where(done, 0.0, new_lp)  # post-EOS pads score 0
         new_done = done | (new_tok == eos_id)
         # emit the carried token (tokens generated after EOS are already pad)
-        return (new_tok, pos + 1, mask, cache, new_done), tok
+        return (new_tok, new_lp, pos + 1, mask, cache, new_done), (tok, lp)
 
-    (_, _, _, _, _), toks = jax.lax.scan(
+    _, (toks, lps) = jax.lax.scan(
         step,
-        (next_tok, next_pos, full_mask, cache, done),
+        (next_tok, next_lp, next_pos, full_mask, cache, done),
         jnp.arange(max_new_tokens),
     )
+    if return_logprobs:
+        return toks.T, lps.T  # (B, max_new_tokens) each
     return toks.T  # (B, max_new_tokens)
 
 

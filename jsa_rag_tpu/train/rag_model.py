@@ -544,7 +544,7 @@ class RAGModel:
 
     # -------------------------------------------------------------- generation
     def generate(self, params, queries, passages, *, max_new_tokens=None,
-                 force_concat: bool = False):
+                 force_concat: bool = False, return_logprobs: bool = False):
         """Decode on (left-padded) prompts; (B or B*K, L_new) ids.
 
         Greedy when ``generation_num_beams == 1``, else HF-parity beam
@@ -579,11 +579,17 @@ class RAGModel:
                 jnp.asarray(gmask), num_beams=beams,
                 length_penalty=self.opt.generation_length_penalty,
                 min_new_tokens=self.opt.generation_min_length or 0, **kw)
+            if return_logprobs:
+                return np.asarray(out), None  # beam path: rescore separately
         else:
             out = greedy_generate(
                 gen_params, self.gen_cfg, jnp.asarray(gids),
                 jnp.asarray(gmask),
-                min_new_tokens=self.opt.generation_min_length or 0, **kw)
+                min_new_tokens=self.opt.generation_min_length or 0,
+                return_logprobs=return_logprobs, **kw)
+            if return_logprobs:
+                toks, lps = out
+                return np.asarray(toks), np.asarray(lps)
         return np.asarray(out)
 
     def _forced_prefix(self, queries, n_rows):
@@ -615,10 +621,20 @@ class RAGModel:
         sent_prob x softmax(ret_score / gen_doc_scores)."""
         b = len(queries)
         k = len(passages[0])
-        gen = self.generate(params, queries, passages,
-                            max_new_tokens=max_new_tokens)  # (B*K, L_new)
-        # score the generated continuations (greedy => max log-probs)
-        sent_logp = self._score_generations(params, queries, passages, gen)
+        gen, lps = self.generate(params, queries, passages,
+                                 max_new_tokens=max_new_tokens,
+                                 return_logprobs=True)  # (B*K, L_new)
+        if lps is not None:
+            # greedy decode already captured per-token log-probs
+            # (output_scores parity, src/rag.py:2286-2292): length-
+            # normalized sequence score with no extra generator forward
+            n_tok = np.maximum((gen != self.generator_tokenizer.pad_id)
+                               .sum(-1), 1)
+            sent_logp = lps.sum(-1) / n_tok
+        else:
+            # beam decode: score the continuations with one forward
+            sent_logp = self._score_generations(params, queries, passages,
+                                                gen)
         sent_logp = sent_logp.reshape(b, k)
         ret = np.asarray(ret_scores, np.float32)
         if self.opt.gen_method == "fast_deocde2":

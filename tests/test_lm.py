@@ -431,3 +431,42 @@ def test_greedy_min_new_tokens(lm_params):
     # are real tokens)
     assert (out3[:, :3] != 2).all()
     assert (out3[:, :3] != 0).all()
+
+
+def test_greedy_logprobs_match_rescoring():
+    """greedy_generate(return_logprobs=True) returns per-token log-probs
+    equal to re-scoring the generated continuation with a teacher-forced
+    forward (the equivalence method_generate relies on to skip the second
+    forward; reference captures output_scores, src/rag.py:2286-2292)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jsa_rag_tpu.models.lm import (LMConfig, greedy_generate, lm_init,
+                                       lm_logits)
+
+    cfg = LMConfig(vocab_size=97, hidden=32, layers=2, heads=4, kv_heads=2,
+                   intermediate=64, dtype=jnp.float32)
+    params = lm_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b, p, new = 3, 7, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, p)), jnp.int32)
+    mask = jnp.ones((b, p), jnp.int32)
+    toks, lps = greedy_generate(params, cfg, ids, mask,
+                                max_new_tokens=new, eos_id=2, pad_id=0,
+                                return_logprobs=True)
+    toks, lps = np.asarray(toks), np.asarray(lps)
+    # teacher-forced rescore of prompt+generation
+    full = np.concatenate([np.asarray(ids), toks], axis=1)
+    fmask = np.concatenate([np.asarray(mask),
+                            (toks != 0).astype(np.int32)], axis=1)
+    logits = np.asarray(lm_logits(params, cfg, jnp.asarray(full),
+                                  jnp.asarray(fmask)))
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    for i in range(b):
+        for t in range(new):
+            if toks[i, t] == 0:
+                assert lps[i, t] == 0.0
+                continue
+            want = float(logp[i, p + t - 1, toks[i, t]])
+            np.testing.assert_allclose(lps[i, t], want, rtol=1e-4,
+                                       atol=1e-5)
