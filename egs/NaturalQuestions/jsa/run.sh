@@ -42,4 +42,11 @@ python train.py \
   --per_gpu_embedder_batch_size 256 \
   --precision bf16 \
   --log_freq 100 --eval_freq 500 --save_freq 5000 \
-  --mesh_data "${MESH_DATA:-1}"
+  --save_build_retriever_step 500 \
+  --mesh_data "${MESH_DATA:-1}" \
+  --shard_optim "${SHARD_OPTIM:-false}" \
+  --tensor_parallel "${TENSOR_PARALLEL:-false}"
+# Multi-chip: MESH_DATA=4 shards the batch over 4 dp workers (the
+# reference's 4xGPU DDP run); SHARD_OPTIM=true adds fairscale-OSS-style
+# param/optimizer sharding; TENSOR_PARALLEL=true shards the generator
+# Megatron-style over the remaining (index) mesh axis.

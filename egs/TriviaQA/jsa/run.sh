@@ -28,4 +28,8 @@ python train.py \
   --refresh_index 0-1000:500,1000-20000:1000 \
   --per_gpu_embedder_batch_size 256 \
   --precision bf16 \
-  --log_freq 100 --eval_freq 500 --save_freq 5000
+  --log_freq 100 --eval_freq 500 --save_freq 5000 \
+  --save_build_retriever_step 500 \
+  --mesh_data "${MESH_DATA:-1}" \
+  --shard_optim "${SHARD_OPTIM:-false}" \
+  --tensor_parallel "${TENSOR_PARALLEL:-false}"
