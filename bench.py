@@ -35,7 +35,9 @@ def main():
     import jax.numpy as jnp
 
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
-    from jsa_rag_tpu.ops.mips_pallas2 import (mips_topk_pallas2,
+    from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits,
+                                              mips_topk_pallas2,
+                                              mips_topk_pallas2_f16_t,
                                               mips_topk_pallas2_t)
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
@@ -67,35 +69,50 @@ def main():
         n_pad = -(-n // 2048) * 2048
         return jnp.pad(et, ((0, 0), (0, n_pad - n)))
 
+    @jax.jit
+    def make_index_f16_t(key):
+        # the production DEFAULT storage: fp16 raw bits, contraction-major
+        e = jax.random.normal(key, (n, d), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        bt = f16_to_bits(e.astype(jnp.float16)).T
+        n_pad = -(-n // 2048) * 2048
+        return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
+
     e = make_index(jax.random.PRNGKey(0))
     et = make_index_t(jax.random.PRNGKey(0))
+    ebt = make_index_f16_t(jax.random.PRNGKey(0)) if on_tpu else None
     jax.block_until_ready(e)
     jax.block_until_ready(et)
     rng = np.random.default_rng(0)
-    qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+    qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
           for _ in range(iters)]
 
     tq = 256 if b >= 256 else 128
     methods = {
-        "pallas2t": lambda q: mips_topk_pallas2_t(q, et, k, tile_q=tq,
-                                                  valid_n=n),
-        "pallas2": lambda q: mips_topk_pallas2(q, e, k, tile_q=tq),
+        "pallas2f16t": lambda q: mips_topk_pallas2_f16_t(
+            q, ebt, k, tile_q=tq, valid_n=n, pool_n=n),
+        "pallas2t": lambda q: mips_topk_pallas2_t(
+            q.astype(jnp.bfloat16), et, k, tile_q=tq, valid_n=n),
+        "pallas2": lambda q: mips_topk_pallas2(q.astype(jnp.bfloat16), e,
+                                               k, tile_q=tq),
         "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
-        "pallas": lambda q: mips_topk_pallas(q, e, k),
+        "pallas": lambda q: mips_topk_pallas(q.astype(jnp.bfloat16), e, k),
     }
     if not on_tpu:
         # CPU (smoke/fallback): only the approx path is sensible; this
         # override must win over a pinned TPU method
         methods = {"approx": methods["approx"]}
     else:
-        pin = os.environ.get("BENCH_METHOD", "pallas2t")
+        # headline = the production default path (fp16-bits transposed
+        # storage, ShardedFlatIndex default); pin another via BENCH_METHOD
+        pin = os.environ.get("BENCH_METHOD", "pallas2f16t")
         if pin:
             methods = {pin: methods[pin]}
 
     def chain(search, m):
         carry = jnp.zeros((b, 1), jnp.float32)
         for t in range(m):
-            q = qs[t] + carry.astype(jnp.bfloat16) * 0  # chain dependency
+            q = qs[t] + carry * 0  # chain dependency
             v, i = search(q)
             carry = carry + v[:, :1] * 1e-9
         _ = np.asarray(carry)  # force full execution

@@ -112,7 +112,12 @@ class Options:
 
     # ----- index (src/options.py:553-588)
     index_mode: str = "flat"  # flat | ivf | faiss (reference alias)
-    index_dtype: str = "bfloat16"
+    # fp16-bits is the production default: reference-parity memory
+    # (src/index.py:52) and the best measured recall vs a true-f32 oracle
+    # (0.9986/0.9995 @20/@100 at 1.3M x 1024 realistic-spectrum, vs bf16's
+    # 0.9929/0.9946 — docs/BENCHMARKS.md); bfloat16 is the max-throughput
+    # option, int8 the half-memory one
+    index_dtype: str = "float16"
     # reference FAISS flags (src/options.py:553-588): with
     # --index_mode faiss, faiss_index_type selects flat / ivfflat / ivfsq /
     # ivfpq / pq; faiss_code_size is the PQ bytes-per-vector (flagship: 32,

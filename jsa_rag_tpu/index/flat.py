@@ -129,8 +129,10 @@ def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
 class ShardedFlatIndex:
     """Exact (flat) sharded MIPS index over a device mesh.
 
-    Embeddings are stored bf16 by default (reference uses fp16 on GPU,
-    src/index.py:52); scores are always accumulated in f32.
+    Embeddings are stored fp16 by default — the reference's storage
+    precision (src/index.py:52), kept as raw bits and scored at fp16
+    precision by the fused kernel; scores always accumulate in f32.
+    bf16 (faster) and int8 (half memory) are the alternatives.
     """
 
     def __init__(
@@ -138,7 +140,7 @@ class ShardedFlatIndex:
         mesh: Mesh,
         n_passages: int,
         dim: int,
-        dtype=jnp.bfloat16,
+        dtype=jnp.float16,
         method: mips.Method = "auto",
     ):
         self.mesh = mesh

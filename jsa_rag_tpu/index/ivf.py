@@ -99,7 +99,9 @@ class ShardedIVFIndex:
             # with --index_dtype int8 must stay pq, not be silently rebuilt
             # as scalar quantization)
             storage, dtype = "sq8", jnp.bfloat16
-        elif jnp.dtype(dtype) == jnp.int8:
+        elif jnp.dtype(dtype) in (jnp.int8, jnp.float16, jnp.int16):
+            # IVF cluster storage has no raw-bits decode kernel; fp16
+            # requests (incl. the flat default) fall back to bf16 dense
             dtype = jnp.bfloat16
         if storage not in ("dense", "sq8", "pq"):
             raise ValueError(f"unknown IVF storage {storage!r}")

@@ -32,12 +32,21 @@ NEG_INF = jnp.finfo(jnp.float32).min
 
 
 def _chunk_scores(q: jax.Array, e_chunk: jax.Array) -> jax.Array:
-    """(B, d) x (C, d) -> (B, C) inner products in f32 on the MXU."""
+    """(B, d) x (C, d) -> (B, C) inner products in f32 on the MXU.
+
+    Precision is pinned to HIGHEST: on TPU the DEFAULT matmul precision
+    lowers f32 inputs to ONE bf16 MXU pass, which silently turns the
+    "exact" method into bf16 scoring (discovered when the on-chip recall
+    oracle agreed with bf16 storage perfectly and scored true-fp16
+    storage as the less accurate one). HIGHEST uses the 6-pass f32
+    emulation — the right trade for the exactness contract this method
+    advertises; the fast paths are the pallas/approx kernels."""
     return jax.lax.dot_general(
         q,
         e_chunk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -165,10 +174,13 @@ def mips_topk_xla_t(
     def score_cols(carry, start, width):
         cs, ci = carry
         e_c = jax.lax.dynamic_slice(embeddings_t, (0, start), (d, width))
+        # HIGHEST: same exactness contract as _chunk_scores (the TPU
+        # default would lower f32 to one bf16 pass)
         s = jax.lax.dot_general(
             queries, e_c,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         idx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) + start
         s = jnp.where(idx < nv, s, NEG_INF)

@@ -184,3 +184,39 @@ def test_train_loop_runs_sharded(tmp_path, mesh8):
         rows = [json.loads(line) for line in f]
     assert rows and np.isfinite(rows[-1]["loss/train_loss"])
     assert os.path.exists(os.path.join(str(tmp_path), "shloop", "latest"))
+
+
+def test_accumulation_steps_with_production_step(mesh8):
+    """optax.MultiSteps under the sharded production step (+ donation):
+    params must not move until accumulation_steps micro-batches are in."""
+    import copy
+
+    opt, store, model, params, queries, targets = _build(2)
+    opt = copy.copy(opt)
+    opt.accumulation_steps = 2
+    index = ShardedFlatIndex(mesh8, len(store),
+                             model.retriever.cfg.bert.hidden,
+                             dtype=jnp.float32, method="exact")
+    model.build_index(index, params)
+    batch = {k: np.asarray(v) for k, v in model.build_batch(
+        "jsa", index, params, queries, targets).items()}
+
+    params_p, specs = setup_params(opt, params, mesh8)
+    tx, _ = set_optim(opt, params_p)
+    opt_state = init_opt_state(tx, params_p, specs, mesh8)
+    step = make_train_step(model.fns, "jsa", tx, mesh8)
+    place = make_batch_placer(mesh8)
+    # lr(optimizer step 0) == 0 under warmup (s/warmup at s=0), so the
+    # FIRST real update is a numerical no-op; the observable movement
+    # lands with the second real update = micro-batch 4
+    leaf = lambda p: np.asarray(p["retriever"]["query"]["embed"]["word"])
+    before = leaf(params_p)
+    p_cur = params_p
+    snaps = []
+    for i in range(4):
+        p_cur, opt_state, loss, _ = step(p_cur, opt_state, place(batch),
+                                         jax.random.PRNGKey(i))
+        snaps.append(leaf(p_cur))
+    np.testing.assert_array_equal(snaps[0], before)  # mini-step: no update
+    np.testing.assert_array_equal(snaps[2], before)  # mini-step: no update
+    assert np.abs(snaps[3] - before).max() > 0  # 2nd real update lands
