@@ -223,14 +223,18 @@ def mips_topk_t(
     candidate-pool sizing (see mips_topk_pallas2_t)."""
     n = embeddings_t.shape[1]
     if embeddings_t.dtype == jnp.int16:
-        # raw IEEE-half bits, transposed (the production fp16 storage)
+        # raw IEEE-half bits, transposed (the production fp16 storage).
+        # Production mode is coarse-refine (refine=4): bf16-speed hi-term
+        # scan + full-f32 rescore of the top-4k candidates — recall >= the
+        # exact-fp16 3-matmul mode at ~2.4x its throughput (measured
+        # docs/BENCHMARKS.md)
         on_tpu = jax.devices()[0].platform == "tpu"
         if method in ("pallas", "pallas2") or (method == "auto" and on_tpu):
             from .mips_pallas2 import mips_topk_pallas2_f16_t
 
             return mips_topk_pallas2_f16_t(
                 queries.astype(jnp.float32), embeddings_t, k,
-                valid_n=valid_n, pool_n=pool_n)
+                valid_n=valid_n, pool_n=pool_n, refine=4)
         # explicit exact/approx oracle: decode, then the XLA column scan
         embeddings_t = jax.lax.bitcast_convert_type(
             embeddings_t, jnp.float16).astype(jnp.float32)

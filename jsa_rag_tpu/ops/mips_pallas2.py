@@ -428,6 +428,33 @@ def f16_to_bits(emb_f16: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------- fp16, transposed layout
+def _topt_f16h_kernel_t(qh_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
+                        t_per_tile: int, tile_n: int):
+    """Coarse pass for the fp16 REFINE search: decode the f16 bits but
+    score with the hi (bf16) term only — ONE MXU matmul per tile, i.e.
+    bf16-kernel speed over fp16 storage. The candidates it emits are
+    rescored at full fp16 precision by the caller; bf16-coarse top-(r*k)
+    containing the fp16 top-k is the same contract as the per-tile pool."""
+    nt = pl.program_id(1)
+    bits = e_ref[:].astype(jnp.int32)
+    bits = jnp.bitwise_and(bits, 0xFFFF)
+    x = _decode_f16_bits(bits)
+    xh = x.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        qh_ref[:], xh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
 def _topt_f16_kernel_t(qh_ref, ql_ref, e_ref, nv_ref, out_s_ref, out_i_ref,
                        *, t_per_tile: int, tile_n: int):
     """fp16 scoring over a contraction-major (d, tile_n) raw-bits block:
@@ -463,7 +490,7 @@ def _topt_f16_kernel_t(qh_ref, ql_ref, e_ref, nv_ref, out_s_ref, out_i_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "pool_n", "tile_q", "tile_n", "t_per_tile",
-                     "interpret"),
+                     "interpret", "refine"),
 )
 def mips_topk_pallas2_f16_t(
     queries: jax.Array,       # (B, d) f32
@@ -476,23 +503,33 @@ def mips_topk_pallas2_f16_t(
     tile_n: int = 1024,
     t_per_tile: int = 4,
     interpret: bool | None = None,
+    refine: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused MIPS over a transposed fp16-bits (d, N) index — fp16 storage
-    (2 bytes/element, reference parity) + fp16 scoring precision in the
-    production contraction-major layout. ``valid_n``/``pool_n`` semantics
-    as in ``mips_topk_pallas2_t``. Default tile_n is halved vs the bf16
-    kernel: the in-kernel decode holds f32 + two bf16 copies of the tile
-    in VMEM."""
+    (2 bytes/element, reference parity) in the production contraction-major
+    layout. ``valid_n``/``pool_n`` semantics as in ``mips_topk_pallas2_t``.
+    Default tile_n is halved vs the bf16 kernel: the in-kernel decode holds
+    f32 + bf16 copies of the tile in VMEM.
+
+    ``refine=0`` (exact-fp16 mode): every tile scores with the hi/lo
+    3-matmul split — full fp16 precision end-to-end, ~1/3 bf16 speed.
+    ``refine=r>0`` (coarse-refine mode): tiles score with the hi (bf16)
+    term only — ONE matmul, bf16-kernel speed — and the merged top-(r*k)
+    candidates are rescored at FULL f32 precision (gather + HIGHEST
+    einsum), giving better-than-fp16 final scores at near-bf16 throughput.
+    The candidates lost to bf16 coarse scoring are those outside the
+    top-(r*k) despite being in the fp16 top-k — vanishing for r >= 4."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, d = queries.shape
     n = emb_bits_t.shape[1]
     k = min(k, n)
+    k_sel = min(refine * k, n) if refine else k
     if valid_n is None:
         valid_n = n
     nv = jnp.asarray(valid_n, jnp.int32).reshape(1)
     tile_n = min(tile_n, _round_up(n, 128))
-    t = _pool_t(k, min(n, pool_n if pool_n is not None else n),
+    t = _pool_t(k_sel, min(n, pool_n if pool_n is not None else n),
                 tile_n, t_per_tile)
 
     q = queries.astype(jnp.float32)
@@ -509,20 +546,29 @@ def mips_topk_pallas2_f16_t(
         emb_bits_t = jnp.pad(emb_bits_t, ((0, 0), (0, n_pad - n)))
     n_tiles = n_pad // tile_n
 
-    kernel = functools.partial(_topt_f16_kernel_t, t_per_tile=t,
-                               tile_n=tile_n)
+    q_spec = pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                          memory_space=pltpu.VMEM)
+    if refine:
+        kernel = functools.partial(_topt_f16h_kernel_t, t_per_tile=t,
+                                   tile_n=tile_n)
+        in_specs = [q_spec]
+        operands = (qh,)
+        flops = 2 * b_pad * n_pad * d
+    else:
+        kernel = functools.partial(_topt_f16_kernel_t, t_per_tile=t,
+                                   tile_n=tile_n)
+        in_specs = [q_spec, q_spec]
+        operands = (qh, ql)
+        flops = 6 * b_pad * n_pad * d
+    in_specs += [
+        pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
     cand_s, cand_i = pl.pallas_call(
         kernel,
         grid=(b_pad // tile_q, n_tiles),
-        in_specs=[
-            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
                          memory_space=pltpu.VMEM),
@@ -537,17 +583,37 @@ def mips_topk_pallas2_f16_t(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * b_pad * n_pad * d,
+            flops=flops,
             bytes_accessed=b_pad * d * 4 + n_pad * d * 2
             + b_pad * n_tiles * t * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qh, ql, emb_bits_t, nv)
+    )(*operands, emb_bits_t, nv)
 
     cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
     cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
-    return _merge_candidates(cand_s, cand_i, k, b)
+    if not refine:
+        return _merge_candidates(cand_s, cand_i, k, b)
+    _, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
+    return _f16_refine(q[:b], emb_bits_t, ids, k, nv)
+
+
+def _f16_refine(q, emb_bits_t, ids, k: int, nv):
+    """Rescore coarse candidates at full f32 precision: gather their fp16
+    columns, decode, and contract with HIGHEST-precision matmuls (6-pass
+    f32 — trivial at (B, r*k) scale). ids beyond the valid count score
+    NEG_INF (they can only appear when r*k exceeds the valid rows)."""
+    b, kc = ids.shape
+    d = emb_bits_t.shape[0]
+    cols = jnp.take(emb_bits_t, ids.reshape(-1), axis=1)  # (d, B*Kc)
+    x = jax.lax.bitcast_convert_type(
+        cols.T.reshape(b, kc, d), jnp.float16).astype(jnp.float32)
+    s = jnp.einsum("bd,bkd->bk", q, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = jnp.where(ids < nv[0], s, NEG_INF)
+    v, a = jax.lax.top_k(s, k)
+    return v, jnp.take_along_axis(ids, a, axis=1)
 
 
 # ---------------------------------------------------------------------- int8
