@@ -62,13 +62,13 @@ def main():
     index = ShardedFlatIndex(mesh, len(store), dim)
 
     @jax.jit
-    def random_index(key):
-        e = jax.random.normal(key, (dim, index.n_padded), jnp.float32)
-        e = e / jnp.linalg.norm(e, axis=0, keepdims=True)
-        return e.astype(index.dtype)
+    def random_rows(key):
+        e = jax.random.normal(key, (len(store), dim), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
 
-    index.embeddings = jax.device_put(random_index(jax.random.PRNGKey(1)),
-                                      index.sharding)
+    # write through the index's own encoder (fp16 default stores raw bits;
+    # a direct astype would corrupt the storage representation)
+    index.set_embeddings(0, random_rows(jax.random.PRNGKey(1)))
     print(f"# setup {time.time()-t0:.1f}s: {args.size} geometry, "
           f"n={args.n}, B={args.batch}, mis={args.mis}, "
           f"K={args.n_context}, L={args.text_maxlength}")
