@@ -323,3 +323,25 @@ def test_pallas2_f16_refine_matches_f32_oracle():
     vs2, vi2 = mips_topk_t(jnp.asarray(q), jnp.asarray(bits_t), k,
                            method="pallas2", valid_n=n, pool_n=n)
     np.testing.assert_allclose(np.asarray(vs2), ov, rtol=1e-5, atol=1e-5)
+
+
+def test_flat_index_f16_refine_through_shards(mesh_flat):
+    """fp16 index with the production pallas/refine dispatch forced (the
+    TPU path, run in interpret mode): shard-padded columns masked, exact
+    ids vs the fp16 oracle through the full shard_map + merge."""
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    rng = np.random.default_rng(37)
+    n, d, k = 700, 32, 12  # 8 shards -> 88-row shards, padded tail
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float16,
+                           method="pallas2")
+    idx.set_embeddings(0, e)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    s, i = idx.search(jnp.asarray(q), k)
+    s, i = np.asarray(s), np.asarray(i)
+    assert i.max() < n and i.min() >= 0
+    oracle = q @ e.astype(np.float16).astype(np.float32).T
+    oi = np.argsort(-oracle, axis=1)[:, :k]
+    for row in range(5):
+        assert set(i[row]) == set(oi[row]), (i[row], oi[row])
