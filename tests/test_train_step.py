@@ -220,3 +220,31 @@ def test_accumulation_steps_with_production_step(mesh8):
     np.testing.assert_array_equal(snaps[0], before)  # mini-step: no update
     np.testing.assert_array_equal(snaps[2], before)  # mini-step: no update
     assert np.abs(snaps[3] - before).max() > 0  # 2nd real update lands
+
+
+def test_evaluate_with_sharded_params(tmp_path, mesh8):
+    """evaluate() runs against TP/FSDP-placed params (the state the
+    production loop evals with between sharded train steps)."""
+    from jsa_rag_tpu.evaluation import evaluate
+
+    opt, store, model, params, *_ = _build(2, n_passages=48)
+    opt.mesh_data = 2
+    opt.shard_optim = True
+    opt.tensor_parallel = True
+    opt.gen_method = "fast_deocde1"
+    opt.generation_max_length = 4
+    opt.checkpoint_dir = str(tmp_path)
+    opt.name = "shev"
+    data_path = tmp_path / "dev.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"question": f"value of w{i}",
+                                "answers": [f"w{i}"]}) + "\n")
+    index = ShardedFlatIndex(mesh8, len(store),
+                             model.retriever.cfg.bert.hidden,
+                             dtype=jnp.float32, method="exact")
+    model.build_index(index, params)
+    params, _ = setup_params(opt, params, mesh8)
+    metrics = evaluate(model, index, params, opt, str(data_path))
+    assert "exact_match" in metrics
+    assert np.isfinite(metrics["eval_loss"])
