@@ -89,7 +89,11 @@ def main():
 
     tq = 256 if b >= 256 else 128
     methods = {
+        # the production default: fp16 storage, bf16-speed coarse scan +
+        # f32 refine of the top-4k (ops/mips.py int16 dispatch)
         "pallas2f16t": lambda q: mips_topk_pallas2_f16_t(
+            q, ebt, k, tile_q=tq, valid_n=n, pool_n=n, refine=4),
+        "pallas2f16t_exact": lambda q: mips_topk_pallas2_f16_t(
             q, ebt, k, tile_q=tq, valid_n=n, pool_n=n),
         "pallas2t": lambda q: mips_topk_pallas2_t(
             q.astype(jnp.bfloat16), et, k, tile_q=tq, valid_n=n),
