@@ -24,17 +24,44 @@ sys.path.insert(0, ".")
 
 def wiki_like_store(n: int, seed: int = 0):
     """Synthetic passages whose SimpleTokenizer token counts mimic the
-    wordpiece-count distribution of wiki 100-word passages."""
+    wordpiece-count distribution of wiki 100-word passages. Word draws are
+    vectorized (one integers() call + one big join) — per-passage
+    rng.choice costs ~15 min at 1.3M, which at one host core starves the
+    measured run's tokenizer thread."""
     from jsa_rag_tpu.data.passages import PassageStore
 
     rng = np.random.default_rng(seed)
-    words = [f"w{i}" for i in range(4999)]
-    passages = []
+    words = np.array([f"w{i}" for i in range(4999)])
     lens = np.clip(rng.normal(155, 18, size=n), 110, 230).astype(int)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    flat = words[rng.integers(0, len(words), size=int(bounds[-1]))]
+    passages = []
     for i in range(n):
-        text = " ".join(rng.choice(words, size=lens[i]).tolist())
+        text = " ".join(flat[bounds[i]:bounds[i + 1]])
         passages.append({"id": str(i), "title": f"t {i % 101}", "text": text})
     return PassageStore(passages=passages)
+
+
+def build_with_retries(*args, retries: int = 6, **kw):
+    """The axon relay sporadically drops remote_compile requests
+    (UNAVAILABLE / broken pipe) during compile-heavy phases. Retrying
+    IN-PROCESS keeps every executable compiled so far, so a retry resumes
+    almost free; restarting the process loses them all."""
+    import time
+
+    from jsa_rag_tpu.index.build import build_index
+
+    for attempt in range(retries):
+        try:
+            return build_index(*args, **kw)
+        except Exception as e:  # jax.errors.JaxRuntimeError etc.
+            if "UNAVAILABLE" not in str(e) and "Broken pipe" not in str(e):
+                raise
+            wait = 60 * (attempt + 1)
+            print(f"# tunnel drop ({e!s:.120}); retry {attempt + 1}/"
+                  f"{retries} in {wait}s", flush=True)
+            time.sleep(wait)
+    raise RuntimeError(f"tunnel still down after {retries} retries")
 
 
 def main():
@@ -52,12 +79,17 @@ def main():
                          "passages instead of a full warm run (for the "
                          "measured 1.3M single-pass sweep, --runs 1)")
     args = ap.parse_args()
+    if args.warm_n:
+        # align the warm prefix to n's residue mod batch so the TAIL batch
+        # shape compiles during warm too — otherwise the measured pass
+        # ends with a fresh compile (and a relay drop there restarts the
+        # whole pass)
+        args.warm_n += (args.n - args.warm_n) % args.batch
 
     import jax
     import jax.numpy as jnp
 
     from jsa_rag_tpu.data.tokenizer import SimpleTokenizer
-    from jsa_rag_tpu.index.build import build_index
     from jsa_rag_tpu.index.flat import ShardedFlatIndex
     from jsa_rag_tpu.models.bert import BertConfig, bert_encode, bert_init
     from jsa_rag_tpu.parallel.mesh import make_mesh
@@ -103,13 +135,33 @@ def main():
             # 25-minute 1.3M sweep)
             warm_store = wiki_like_store(args.warm_n, seed=1)
             warm_index = ShardedFlatIndex(mesh, len(warm_store), args.hidden)
-            build_index(warm_index, warm_store, encode, tok,
-                        batch_size=args.batch, max_length=512, **kw)
+            build_with_retries(warm_index, warm_store, encode, tok,
+                               batch_size=args.batch, max_length=512, **kw)
             del warm_index
+            # Zero-compile measured pass: the (d, N) buffer shape is part
+            # of _update_cols' compile key and the window's batch count is
+            # part of _unsort_rows', so the small warm index CANNOT warm
+            # the measured index's write path or the tail window's unsort.
+            # A compile landing at minute ~27, when the relay is already
+            # wedged by sustained bulk transfers, is what kept killing the
+            # 1.3M sweep — pre-compile both window block shapes here.
+            from jsa_rag_tpu.index.build import _unsort_rows
+            sw = max(kw.get("sort_window", 1), 1)
+            window = args.batch * sw
+            dt = encode(jnp.zeros((args.batch, 128), jnp.int32),
+                        jnp.zeros((args.batch, 128), jnp.int32)).dtype
+            for rows in {window, args.n % window or window}:
+                nb = -(-rows // args.batch)
+                blocks = tuple(jnp.zeros((args.batch, args.hidden), dt)
+                               for _ in range(nb))
+                blk = _unsort_rows(
+                    blocks, jnp.arange(nb * args.batch, dtype=jnp.int32))
+                index.set_embeddings(0, blk[:rows])
+            jax.block_until_ready(index.embeddings)
         for run in range(args.runs):  # run 0 warms compiles (unless warm_n)
-            stats = build_index(index, store, encode, tok,
-                                batch_size=args.batch, max_length=512,
-                                **kw)
+            stats = build_with_retries(index, store, encode, tok,
+                                       batch_size=args.batch,
+                                       max_length=512, **kw)
         pps = stats["indexing/passages_per_sec"][0]
         total = stats["runtime/indexing"][0]
         mins_21m = 21_000_000 / (pps * 16) / 60

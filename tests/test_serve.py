@@ -48,6 +48,44 @@ def test_rebuild_endpoint(server):
     assert rebuilt == ["some/dir"]
 
 
+def test_standalone_server_main(tmp_path, mesh_flat):
+    """`python -m jsa_rag_tpu.serve` wiring: saved index + passages jsonl
+    -> running server (the reference's standalone server_start.py flow)."""
+    import json
+
+    rng = np.random.default_rng(1)
+    n, d = 48, 16
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    index = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float32,
+                             method="exact")
+    index.set_embeddings(0, e)
+    index.save(str(tmp_path / "index"), n_files=2)
+    with open(tmp_path / "passages.jsonl", "w") as f:
+        for i in range(n):
+            f.write(json.dumps(
+                {"id": str(i), "title": f"t{i}", "text": f"body {i}"}) + "\n")
+
+    from jsa_rag_tpu.serve.__main__ import main
+
+    srv = main(["--index_path", str(tmp_path / "index"),
+                "--passages", str(tmp_path / "passages.jsonl"),
+                "--port", "0"], block=False)
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        docs, scores = call_retrieve_api(e[[5]], topk=2, url=url)
+        assert docs[0][0]["id"] == "5"
+    finally:
+        srv.stop()
+
+    # store/index row-count mismatch fails fast
+    with open(tmp_path / "short.jsonl", "w") as f:
+        f.write(json.dumps({"id": "0", "title": "t", "text": "x"}) + "\n")
+    with pytest.raises(SystemExit):
+        main(["--index_path", str(tmp_path / "index"),
+              "--passages", str(tmp_path / "short.jsonl"),
+              "--port", "0"], block=False)
+
+
 def test_health_and_errors(server):
     import json
     import urllib.request
