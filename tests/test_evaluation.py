@@ -131,6 +131,61 @@ def test_multiple_choice_eval(tmp_path, eval_setup):
     assert "accuracy" in metrics
 
 
+def test_concat_eval_prompt_golden():
+    """Golden check of the concat prompt: ONE row per query containing
+    every passage context joined (reference tokenize_casual4gen concat
+    path, src/rag.py:533-538)."""
+    import dataclasses
+
+    from jsa_rag_tpu.data.prompts import PromptConfig, build_generation_batch
+
+    tok = SimpleTokenizer(max_vocab=600)
+    cfg = dataclasses.replace(PromptConfig(family="mistral"),
+                              concat_doc=True, text_maxlength=96,
+                              pad_to_multiple=8)
+    passages = [[{"title": "ta", "text": "alpha fact"},
+                 {"title": "tb", "text": "beta fact"}]]
+    ids, mask = build_generation_batch(tok, ["which fact"], passages, cfg)
+    assert ids.shape[0] == 1  # B rows, not B*K
+    text = tok.decode([t for t, m in zip(ids[0], mask[0]) if m])
+    for frag in ("alpha fact", "beta fact", "which fact", "Question"):
+        assert frag in text, (frag, text)
+    # passage order preserved in the joined context
+    assert text.index("alpha fact") < text.index("beta fact")
+
+
+def test_concat_eval_routes_through_concat_prompts(eval_setup, monkeypatch):
+    """gen_method=concat WITHOUT concat_doc must evaluate the
+    passages-concatenated prompt, not the top-passage row (VERDICT r2
+    weak 2; reference gen_method == 'concat' passthrough,
+    src/rag.py:2323): every generation batch is built with a
+    concat_doc cfg and B rows."""
+    model, index, params, opt, data_path = eval_setup
+    import jsa_rag_tpu.train.rag_model as rm
+
+    seen = []
+    real = rm.build_generation_batch
+
+    def spy(tokenizer, queries, passages, cfg):
+        out = real(tokenizer, queries, passages, cfg)
+        seen.append((cfg.concat_doc, len(queries), out[0].shape[0]))
+        return out
+
+    monkeypatch.setattr(rm, "build_generation_batch", spy)
+    assert not model.prompt_cfg.concat_doc
+    old = opt.gen_method
+    opt.gen_method = "concat"
+    try:
+        metrics = evaluate(model, index, params, opt, data_path)
+    finally:
+        opt.gen_method = old
+    assert np.isfinite(metrics["eval_loss"])
+    assert seen, "generation never built a prompt batch"
+    for concat_doc, n_queries, n_rows in seen:
+        assert concat_doc is True
+        assert n_rows == n_queries  # one concatenated prompt per query
+
+
 def test_live_rescore_follows_fresh_towers(eval_setup):
     """Eval selection scores come from the LIVE towers (VERDICT r2 item 2,
     reference evaluate.py:175-186): with a stale index but fresh tower
