@@ -25,6 +25,11 @@ class Options:
     eval_data: list[str] = dataclasses.field(default_factory=list)
     per_gpu_batch_size: int = 1
     per_gpu_embedder_batch_size: int = 128
+    # training-data shuffle: examples buffered by the streaming reservoir
+    # shuffle (O(buffer) memory); 0 materializes the whole dataset per
+    # epoch for a full shuffle (the reference behavior, right for
+    # topic-/length-sorted files that fit in host memory)
+    shuffle_buffer_size: int = 65536
     log_freq: int = 100
     log_detail_num: int = 0  # dump training_info_step{N}.json for first N
     eval_freq: int = 500

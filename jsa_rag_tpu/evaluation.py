@@ -57,49 +57,52 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 
     for batch in batches:
         queries, targets = batch["query"], batch["target"]
-        if batch.get("__dummy__"):
-            # padding batch: run the collective search with the SAME shapes
-            # as real batches (incl. the filter's over-fetch) so SPMD
-            # programs stay aligned across processes (evaluate.py:44-56)
-            if not opt.use_file_passages and not opt.closed_book:
-                model.retrieve(index, params, queries, opt.n_context,
-                               batch_metadata=batch.get("metadata"),
-                               filtering_fun=task_filter)
-            continue
+        # padding batches (short processes) run the FULL device pipeline —
+        # retrieval collectives AND the embed/loss/decode forwards, whose
+        # jit programs all-gather cross-process-sharded (FSDP/TP) params —
+        # with the same shapes as real batches, so SPMD programs stay
+        # aligned across processes (reference: evaluate.py:44-56 runs the
+        # whole forward on dummies). Only host-side recording is skipped.
+        is_dummy = bool(batch.get("__dummy__"))
         if opt.closed_book:
             passages = [[{"title": "", "text": ""}] for _ in queries]
             ret_scores = np.zeros((len(queries), 1), np.float32)
         elif opt.use_file_passages:
             # supplied-passage mode (reference: evaluate.py:187-204): score
             # the supplied top-retriever_n_context with the LIVE towers,
-            # keep the top n_context by those scores
-            width = min(max(1, opt.retriever_n_context),
-                        max(1, max(len(p) for p in batch["passages"])))
-            pool = model._supplied_passages(batch["passages"], width)
+            # keep the top n_context by those scores. Pad duplicates are
+            # masked out so they never beat a genuinely supplied passage
+            # (and get ~zero fast-decode softmax weight if a short row
+            # forces them into the top-k).
+            pool, valid = model.supplied_pool(batch["passages"])
             scores = model.live_rescore(params, queries, pool)
+            scores = np.where(valid, scores, np.float32(-1e9))
             order = np.argsort(-scores, axis=-1)[:, :opt.n_context]
             ret_scores = np.take_along_axis(scores, order, axis=-1)
             passages = [[pool[i][j] for j in order[i]]
                         for i in range(len(queries))]
         else:
+            # one query embed shared by the search and the live rescore
+            q_emb = model.embed_queries(params, queries)
             _, _, passages = model.retrieve(
                 index, params, queries, opt.n_context,
                 batch_metadata=batch.get("metadata"),
-                filtering_fun=task_filter)
+                filtering_fun=task_filter, q_emb=q_emb)
             # selection scores come from the LIVE towers, not the index
             # (stale between refreshes) — reference: evaluate.py:175-186
-            ret_scores = model.live_rescore(params, queries, passages)
+            ret_scores = model.live_rescore(params, queries, passages,
+                                            q_emb=q_emb)
 
         # substring recall over retrieved passages (evaluate.py:206-209)
-        for i in range(len(queries)):
-            texts = [p.get("text", "") for p in passages[i]]
-            metrics["retrieval_recall"].append(
-                M.recall(texts, _answers_of(batch, i)))
+        if not is_dummy:
+            for i in range(len(queries)):
+                texts = [p.get("text", "") for p in passages[i]]
+                metrics["retrieval_recall"].append(
+                    M.recall(texts, _answers_of(batch, i)))
 
         # eval loss: generator CE of the gold target given each passage —
         # a full B*K generator forward, so only run it for tasks that
-        # actually report eval_loss (per-process jit, no collectives, so
-        # skipping it cannot desync SPMD programs)
+        # actually report eval_loss
         if "eval_loss" in metrics:
             from .data.prompts import build_training_batch
 
@@ -109,8 +112,9 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             per_seq = np.asarray(mode_eval_loss(
                 params, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(labels)))
-            metrics["eval_loss"].extend(
-                per_seq.reshape(len(queries), -1).mean(-1).tolist())
+            if not is_dummy:
+                metrics["eval_loss"].extend(
+                    per_seq.reshape(len(queries), -1).mean(-1).tolist())
 
         # multiple-choice: score the choice letters at the first answer
         # position instead of free generation (reference:
@@ -118,6 +122,8 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
         if hasattr(task, "choices") and "choices" in batch:
             choice_rows = _choice_logits(model, params, queries, passages,
                                          task.choices)
+            if is_dummy:
+                continue
             for i in range(len(queries)):
                 logits = choice_rows[i]
                 pred = max(logits, key=logits.get)
@@ -146,6 +152,8 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
             best, _ = model.method_generate(
                 params, queries, passages, ret_scores,
                 max_new_tokens=opt.generation_max_length)
+        if is_dummy:
+            continue
         for i in range(len(queries)):
             pred = model.generator_tokenizer.decode(best[i]).strip()
             gold = _answers_of(batch, i)
@@ -244,7 +252,9 @@ def _pad_batches_across_processes(batches):
     if batches:
         template = {k: v for k, v in batches[-1].items()}
     else:
-        template = {"query": ["pad"], "target": ["pad"], "__size__": 1}
+        template = {"query": ["pad"], "target": ["pad"],
+                    "passages": [[{"title": "", "text": ""}]],
+                    "__size__": 1}
     for _ in range(max_count - len(batches)):
         batches.append(dict(template, __dummy__=True))
     return batches

@@ -54,10 +54,11 @@ class BaseTask:
 
     @staticmethod
     def batch_iterator(data_iterator, batch_size, drop_last=False,
-                       shuffle=False):
+                       shuffle=False, shuffle_buffer_size=65536):
         """Dict-of-lists batching (src/tasks/base.py:50-66)."""
         if shuffle:
-            data_iterator = BaseTask.shuffle_iterator(data_iterator)
+            data_iterator = BaseTask.shuffle_iterator(
+                data_iterator, buffer_size=shuffle_buffer_size)
         batch = defaultdict(list)
         batch["__size__"] = 0
         for example in data_iterator:
@@ -79,8 +80,18 @@ class BaseTask:
         Fisher-Yates shuffle; larger ones stream at O(buffer) memory — the
         reference materializes the whole dataset per epoch
         (random.shuffle over a list), the wrong shape for the 21M-scale
-        corpora the rest of the framework targets."""
+        corpora the rest of the framework targets. Note mixing is
+        window-local for datasets larger than the buffer: an example moves
+        at most ~buffer_size positions, so a topic-/length-sorted file
+        keeps its coarse order. ``buffer_size <= 0`` materializes and
+        fully shuffles (the reference behavior; ``--shuffle_buffer_size
+        0`` restores it for datasets that fit in host memory)."""
         rng = random.Random(seed) if seed is not None else random
+        if buffer_size <= 0:
+            buf = list(dataset)
+            rng.shuffle(buf)
+            yield from buf
+            return
         buf = []
         for example in dataset:
             if len(buf) < buffer_size:

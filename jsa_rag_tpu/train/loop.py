@@ -123,8 +123,9 @@ def train(
             opt.train_data, jax.process_index(), jax.process_count(),
             repeat_if_less_than_world_size=True, opt=opt)
         data_iterator = filter(None, map(task.process, data_iterator))
-        batches = task.batch_iterator(data_iterator, batch_rows,
-                                      drop_last=True, shuffle=True)
+        batches = task.batch_iterator(
+            data_iterator, batch_rows, drop_last=True, shuffle=True,
+            shuffle_buffer_size=opt.shuffle_buffer_size)
         for batch in batches:
             iter_stats: dict = {}
             step += 1

@@ -152,14 +152,17 @@ class RAGModel:
 
     def retrieve(self, index, params, queries: list[str], topk: int,
                  posterior: bool = False, iter_stats: dict | None = None,
-                 batch_metadata=None, filtering_fun=None):
+                 batch_metadata=None, filtering_fun=None, q_emb=None):
         """Query the in-process sharded index; returns (ids (B,k) np,
         scores (B,k) np, passages). Reference: RAG._retrieve + search_knn
         (src/rag.py:134-174, src/index.py:124-158). ``filtering_fun`` is the
         task's anti-cheat filter (src/tasks/base.py:97-132) — retrieval
-        over-fetches so filtered results still fill topk."""
+        over-fetches so filtered results still fill topk. Pass ``q_emb``
+        when the caller already embedded the queries (the eval harness
+        shares one embed between retrieve and live_rescore)."""
         t0 = time.time()
-        q_emb = self.embed_queries(params, queries, posterior=posterior)
+        if q_emb is None:
+            q_emb = self.embed_queries(params, queries, posterior=posterior)
         fetch_k = topk + (8 if filtering_fun is not None else 0)
         if self.opt.retrieve_with_rerank:
             ids, scores = self._retrieve_rerank(index, params, q_emb,
@@ -250,15 +253,18 @@ class RAGModel:
         return fn
 
     def live_rescore(self, params, queries: list[str],
-                     passages: list[list[dict]]) -> np.ndarray:
+                     passages: list[list[dict]], q_emb=None) -> np.ndarray:
         """(B, K) retrieval scores from the LIVE towers: re-embed the
         queries (prior query tower) and the passages (passage tower) and
         dot them (reference: evaluate.py:175-186). Index search scores go
         stale between refreshes; eval-time selection (fast_deocde1/2
         weighting) must follow the current weights — and in use_file mode
         the supplied passages have no index scores at all
-        (evaluate.py:187-204 scores them the same way)."""
-        q_emb = np.asarray(self.embed_queries(params, queries), np.float32)
+        (evaluate.py:187-204 scores them the same way). ``q_emb`` skips
+        the query embed when the caller already has it."""
+        if q_emb is None:
+            q_emb = self.embed_queries(params, queries)
+        q_emb = np.asarray(q_emb, np.float32)
         p_ids, p_mask = self._tokenize_passage_matrix(passages)
         fn = self._jit(("rescore_embed",), lambda: jax.jit(
             lambda p, i, m: self.retriever.embed_passages(
@@ -336,6 +342,22 @@ class RAGModel:
             self.prompt_cfg)
         return (jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask))
 
+    def supplied_pool(self, file_passages):
+        """use_file candidate pool: the supplied lists capped at
+        ``retriever_n_context`` (reference: src/rag.py:1631,1877 — 100
+        flagship), padded to the batch's static width. Returns
+        ``(pool, valid)``: ``valid`` (B, K) bool marks genuinely supplied
+        slots — the padding repeats each row's last passage, and a pad
+        duplicate must never receive probability mass (MIS chain/softmax
+        double-counting) or win a top-k selection over a real passage."""
+        width = min(max(1, self.opt.retriever_n_context),
+                    max(1, max(len(p) for p in file_passages)))
+        pool = self._supplied_passages(file_passages, width)
+        valid = np.zeros((len(file_passages), width), bool)
+        for i, p in enumerate(file_passages):
+            valid[i, :max(min(len(p), width), 1)] = True
+        return pool, valid
+
     def _supplied_passages(self, file_passages, k):
         """closed_book / use_file_passages passage sources
         (reference: src/rag.py use_file_passages branches; closed_book uses
@@ -407,18 +429,8 @@ class RAGModel:
             # the candidate pool is the supplied list capped at
             # retriever_n_context (src/rag.py:1631,1877 — 100 flagship, NOT
             # 2*n_context: with 100-passage files a 2*topk cap would drop
-            # 80% of the pool); no index round-trip. Static width = the
-            # batch's longest supplied list (up to the cap) so short files
-            # don't pad to the full cap
-            width = min(max(1, self.opt.retriever_n_context),
-                        max(1, max(len(p) for p in file_passages)))
-            u_passages = self._supplied_passages(file_passages, width)
-            # valid marks only genuinely supplied rows (the helper pads
-            # short lists with duplicates; giving pads probability mass
-            # would double-count passages in the MIS chain / softmax)
-            valid = np.zeros((len(queries), width), bool)
-            for i, p in enumerate(file_passages):
-                valid[i, :max(min(len(p), width), 1)] = True
+            # 80% of the pool); no index round-trip
+            u_passages, valid = self.supplied_pool(file_passages)
             post_passages = [p[:topk] for p in u_passages]
             prior_passages = post_passages
             self.last_info = {"query": queries[0], "response": targets[0]}

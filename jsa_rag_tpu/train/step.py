@@ -121,10 +121,17 @@ def make_batch_placer(mesh: Mesh):
     def place(batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
-            v = np.asarray(v)
             if jax.process_count() > 1:
-                out[k] = jax.make_array_from_process_local_data(dp, v)
+                out[k] = jax.make_array_from_process_local_data(
+                    dp, np.asarray(v))
             else:
+                # device_put reshards arrays that are already on device
+                # without a host roundtrip — build_batch hands back jnp
+                # outputs for the tokenized/union leaves every step.
+                # (Lists must still go through np: device_put would treat
+                # them as pytrees of scalars.)
+                if not isinstance(v, (np.ndarray, jax.Array)):
+                    v = np.asarray(v)
                 out[k] = jax.device_put(v, dp)
         return out
 

@@ -131,6 +131,30 @@ def test_multiple_choice_eval(tmp_path, eval_setup):
     assert "accuracy" in metrics
 
 
+def test_use_file_ragged_pads_never_displace_supplied(eval_setup):
+    """Ragged supplied lists: the pool pads short rows by repeating the
+    last passage, and those duplicates must never beat a genuinely
+    supplied passage in the top-n_context selection (they'd silently drop
+    real candidates and multiply the duplicate's fast-decode softmax
+    mass)."""
+    model, index, params, opt, _ = eval_setup
+    # row 0 supplies 3, row 1 supplies 6 -> width 6, row 0 gets 3 pads
+    supplied = [
+        [{"title": f"t{j}", "text": f"e{j} has value v{j}"} for j in range(3)],
+        [{"title": f"t{j}", "text": f"e{j} has value v{j}"} for j in range(6)],
+    ]
+    pool, valid = model.supplied_pool(supplied)
+    assert valid.tolist() == [[True] * 3 + [False] * 3, [True] * 6]
+    queries = ["value of e0", "value of e1"]
+    scores = model.live_rescore(params, queries, pool)
+    masked = np.where(valid, scores, np.float32(-1e9))
+    order = np.argsort(-masked, axis=-1)[:, :3]
+    # row 0's top-3 must be exactly its 3 genuine slots, whatever their
+    # live scores (the pad copies of the last passage score identically
+    # and would otherwise tie-break into the selection)
+    assert sorted(order[0].tolist()) == [0, 1, 2]
+
+
 def test_concat_eval_prompt_golden():
     """Golden check of the concat prompt: ONE row per query containing
     every passage context joined (reference tokenize_casual4gen concat

@@ -420,3 +420,9 @@ def test_shuffle_iterator_streams_large_datasets():
     head = out[:2000]
     assert any(x > 2000 for x in head)
     assert max(head) <= 2000 + 256
+    # buffer_size 0: materialize + full shuffle (--shuffle_buffer_size 0,
+    # the reference behavior) — the head can draw from anywhere
+    full = list(BaseTask.shuffle_iterator(iter(data), buffer_size=0,
+                                          seed=7))
+    assert sorted(full) == data
+    assert max(full[:2000]) > 5000
