@@ -22,7 +22,7 @@ from .config import Options
 from .models.lm import lm_loss
 from .tasks import get_task
 from .utils import metrics as M
-from .utils.stats import WeightedAvgStats, weighted_average
+from .utils.stats import WeightedAvgStats
 from .train.rag_model import RAGModel
 
 logger = logging.getLogger(__name__)
@@ -168,11 +168,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 
     metrics, dataset_wpred = task.evaluation_postprocessing(metrics,
                                                             dataset_wpred)
-    avg = {}
-    for k, v in metrics.items():
-        if len(v) == 0:
-            continue
-        avg[k], _ = weighted_average(float(np.mean(v)), len(v))
+    avg = _reduce_metrics(metrics)
     if write_results or (write_results is None and opt.write_results):
         save_distributed_dataset(dataset_wpred, os.path.basename(data_path),
                                  opt)
@@ -235,6 +231,20 @@ def _choice_logits(model, params, queries, passages, choices):
         {c: float(last[i, int(tid)]) for c, tid in letter_ids.items()}
         for i in range(len(queries))
     ]
+
+
+def _reduce_metrics(metrics: dict) -> dict:
+    """Cross-process weighted average of the locally-collected metric
+    lists (reference: evaluate.py:331 avg_dist_dict). Must go through
+    ``WeightedAvgStats.average_stats``: its key-union alignment runs ONE
+    fixed sequence of collectives however the key sets diverge — a
+    per-locally-nonempty-key ``weighted_average`` loop would issue a
+    different number of collectives on a rank that saw only dummy batches
+    (all lists empty) and desync the processes."""
+    stats = WeightedAvgStats()
+    stats.update({k: (float(np.mean(v)), float(len(v)))
+                  for k, v in metrics.items() if len(v)})
+    return stats.average_stats
 
 
 def _pad_batches_across_processes(batches):

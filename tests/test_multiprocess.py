@@ -196,6 +196,108 @@ print(f"WORKER{{rank}} OK")
 """
 
 
+EVAL_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address={coord!r},
+                           num_processes=2, process_id={pid})
+rank = jax.process_index()
+import json, os
+import numpy as np
+import jax.numpy as jnp
+
+# divergent-key metric reduction: rank1 collected NOTHING (it saw only
+# dummy batches) — the reduction must still run one aligned collective
+# sequence on both ranks and weight rank1 at zero
+from jsa_rag_tpu.evaluation import _reduce_metrics, evaluate
+out = _reduce_metrics({{"em": [1.0, 0.0]}} if rank == 0 else {{"em": []}})
+assert abs(out["em"] - 0.5) < 1e-9, out
+
+# evaluate() end-to-end across 2 processes with RAGGED batch counts and
+# generator params TENSOR-PARALLEL across the processes: every jitted
+# forward (embed, rescore, eval CE, decode) is a global program that
+# all-gathers cross-process param shards, so a rank that skipped its
+# dummy-batch forwards would hang the other rank (the r3 mirroring fix)
+from jsa_rag_tpu.config import Options
+from jsa_rag_tpu.data.passages import PassageStore
+from jsa_rag_tpu.index.flat import ShardedFlatIndex
+from jsa_rag_tpu.model_io import load_or_initialize_model
+from jsa_rag_tpu.parallel.mesh import make_mesh
+from jsa_rag_tpu.train.step import setup_params
+
+opt = Options(model_size="tiny", precision="fp32", use_lora=False,
+              task="qa", gen_method="fast_deocde1",
+              generation_max_length=4, n_context=2, retriever_n_context=4,
+              per_gpu_batch_size=1, text_maxlength=48, target_maxlength=8,
+              dropout=0.0, tensor_parallel=True,
+              checkpoint_dir={ckpt!r}, name="mpev")
+store = PassageStore.synthetic(32, seed=0)
+model, params, _ = load_or_initialize_model(opt, store)
+mesh = make_mesh(n_data=1, n_index=2)
+index = ShardedFlatIndex(mesh, len(store), model.retriever.cfg.bert.hidden,
+                         dtype=jnp.float32, method="exact")
+model.build_index(index, params)
+params, _ = setup_params(opt, params, mesh)
+assert any(not x.is_fully_addressable for x in
+           jax.tree_util.tree_leaves(params["generator"])), \
+    "generator must actually shard across the two processes"
+
+# identical file content per rank; the iterator shards rows by rank:
+# rank0 gets rows 0 and 2, rank1 gets row 1 (+1 dummy batch)
+data_path = os.path.join({ckpt!r}, f"dev_r{{rank}}.jsonl")
+with open(data_path, "w") as f:
+    for i in range(3):
+        f.write(json.dumps({{"question": f"what is w{{i}} about",
+                            "answers": [f"w{{i + 1}}"]}}) + "\n")
+metrics = evaluate(model, index, params, opt, data_path)
+assert "exact_match" in metrics, metrics
+assert np.isfinite(metrics["eval_loss"]), metrics
+# the averages are global: both ranks must return identical values
+from jax.experimental import multihost_utils as mhu
+vals = np.asarray(mhu.process_allgather(np.array(
+    [metrics[k] for k in sorted(metrics)], np.float64)))
+np.testing.assert_allclose(vals[0], vals[1], rtol=0, atol=0)
+print(f"EVALWORKER{{rank}} OK")
+"""
+
+
+def test_two_process_evaluate_ragged_sharded(tmp_path):
+    """evaluate() across 2 real processes: ragged per-process batch counts
+    (dummy batches must mirror the full device pipeline) with generator
+    params tensor-parallel ACROSS the processes, plus the key-union metric
+    reduction for an all-dummy rank."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             EVAL_WORKER.format(repo=REPO, coord=coord, pid=pid,
+                                ckpt=str(tmp_path))],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("two-process evaluate hung (SPMD desync: a dummy "
+                        "batch skipped a collective forward)")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"EVALWORKER{pid} OK" in out
+
+
 def test_two_process_eval_paths(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"
