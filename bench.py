@@ -139,10 +139,13 @@ def main():
     # same-session qps of the BARE scoring matmul is the speed-of-light
     # reference — headline/floor is comparable across rounds even when
     # absolute numbers move
+    @jax.jit
     def matmul_only(q):
         # the scoring matmul + a row-max epilogue (stable reference
         # program; a bare (B, N) f32 output would add a 2.7 GB HBM write
-        # the fused kernel never does)
+        # the fused kernel never does). Must be JITTED: eager dispatch
+        # runs the dot and the max as separate programs, materializing
+        # exactly that (B, N) write and halving the reported floor
         s = jax.lax.dot_general(
             q, et, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

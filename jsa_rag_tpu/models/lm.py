@@ -416,21 +416,38 @@ def _beam_attention(layer, cfg: LMConfig, x, positions, prompt_kv, gen_kv,
     ancestry; values contract through the same one-hot."""
     bk, s, _ = x.shape  # s == 1
     nh, nkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
-    b, kbeams, t_cap, _ = onehot_anc.shape
+    b, kbeams, _, _ = onehot_anc.shape
     q = (x @ layer["q_w"].astype(x.dtype)).reshape(bk, s, nh, hd)
     k_new = (x @ layer["k_w"].astype(x.dtype)).reshape(bk, s, nkv, hd)
     v_new = (x @ layer["v_w"].astype(x.dtype)).reshape(bk, s, nkv, hd)
     q = _rope(q, positions, cfg.rope_theta)
     k_new = _rope(k_new, positions, cfg.rope_theta)
 
+    qg = q.reshape(b, kbeams, nkv, nh // nkv, hd)
+    ctx, new_kv = _beam_select_attend(qg, k_new, v_new, prompt_kv, gen_kv,
+                                      onehot_anc, prompt_bias, gen_bias, t)
+    return ctx @ layer["o_w"].astype(x.dtype), new_kv
+
+
+def _beam_select_attend(qg, k_new, v_new, prompt_kv, gen_kv, onehot_anc,
+                        prompt_bias, gen_bias, t):
+    """Score/select/contract core shared by the llama and gpt2 beam
+    attention: append this step's k/v to the physical gen cache, score the
+    grouped query against the shared prompt cache AND all K physical gen
+    rows, select through the one-hot ancestry, softmax over
+    [prompt | gen], contract values the same way.
+
+    qg: (B, K, G, R, D) grouped query (G = kv heads, R = query heads per
+    kv head; MHA passes R=1). Returns ((B*K, 1, G*R*D) ctx, new gen_kv)."""
+    b, kbeams, nkv, rep, hd = qg.shape
     ck, cv = gen_kv
     ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0, 0))
     cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0, 0))
+    t_cap = ck.shape[1]
     kg = ck.reshape(b, kbeams, t_cap, nkv, hd)
     vg = cv.reshape(b, kbeams, t_cap, nkv, hd)
 
-    rep = nh // nkv
-    qg = q.reshape(b, kbeams, nkv, rep, hd)
+    dtype = qg.dtype
     scale = 1.0 / jnp.sqrt(jnp.float32(hd))
     pk, pv = prompt_kv
     sp = jnp.einsum("bkgrd,bpgd->bkgrp", qg, pk,
@@ -443,13 +460,13 @@ def _beam_attention(layer, cfg: LMConfig, x, positions, prompt_kv, gen_kv,
         sp + prompt_bias[:, None, None, None, :],
         sg + gen_bias[None, None, None, None, :],
     ], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     wp, wg = probs[..., :pk.shape[1]], probs[..., pk.shape[1]:]
     ctx_p = jnp.einsum("bkgrp,bpgd->bkgrd", wp, pv)
-    w_j = jnp.einsum("bkgrt,bktj->bkgrjt", wg, onehot_anc.astype(x.dtype))
+    w_j = jnp.einsum("bkgrt,bktj->bkgrjt", wg, onehot_anc.astype(dtype))
     ctx_g = jnp.einsum("bkgrjt,bjtgd->bkgrd", w_j, vg)
-    ctx = (ctx_p + ctx_g).reshape(bk, s, nh * hd)
-    return ctx @ layer["o_w"].astype(x.dtype), (ck, cv)
+    ctx = (ctx_p + ctx_g).reshape(b * kbeams, 1, nkv * rep * hd)
+    return ctx, (ck, cv)
 
 
 def _gpt2_beam_attention(layer, cfg: LMConfig, x, prompt_kv, gen_kv,
@@ -458,40 +475,17 @@ def _gpt2_beam_attention(layer, cfg: LMConfig, x, prompt_kv, gen_kv,
     full MHA — treat every head as its own kv head, rep == 1)."""
     bk, s, h = x.shape
     nh, hd = cfg.heads, cfg.head_dim
-    b, kbeams, t_cap, _ = onehot_anc.shape
+    b, kbeams, _, _ = onehot_anc.shape
     qkv = x @ layer["qkv_w"].astype(x.dtype) + layer["qkv_b"].astype(x.dtype)
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(bk, s, nh, hd)
     k_new = k_new.reshape(bk, s, nh, hd)
     v_new = v_new.reshape(bk, s, nh, hd)
 
-    ck, cv = gen_kv
-    ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0, 0))
-    kg = ck.reshape(b, kbeams, t_cap, nh, hd)
-    vg = cv.reshape(b, kbeams, t_cap, nh, hd)
-
     qg = q.reshape(b, kbeams, nh, 1, hd)
-    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
-    pk, pv = prompt_kv
-    sp = jnp.einsum("bkgrd,bpgd->bkgrp", qg, pk,
-                    preferred_element_type=jnp.float32) * scale
-    sg_all = jnp.einsum("bkgrd,bjtgd->bkgrjt", qg, kg,
-                        preferred_element_type=jnp.float32) * scale
-    sg = jnp.einsum("bkgrjt,bktj->bkgrt", sg_all,
-                    onehot_anc.astype(jnp.float32))
-    logits = jnp.concatenate([
-        sp + prompt_bias[:, None, None, None, :],
-        sg + gen_bias[None, None, None, None, :],
-    ], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    wp, wg = probs[..., :pk.shape[1]], probs[..., pk.shape[1]:]
-    ctx_p = jnp.einsum("bkgrp,bpgd->bkgrd", wp, pv)
-    w_j = jnp.einsum("bkgrt,bktj->bkgrjt", wg, onehot_anc.astype(x.dtype))
-    ctx_g = jnp.einsum("bkgrjt,bjtgd->bkgrd", w_j, vg)
-    ctx = (ctx_p + ctx_g).reshape(bk, s, h)
+    ctx, new_kv = _beam_select_attend(qg, k_new, v_new, prompt_kv, gen_kv,
+                                      onehot_anc, prompt_bias, gen_bias, t)
     out = ctx @ layer["o_w"].astype(x.dtype) + layer["o_b"].astype(x.dtype)
-    return out, (ck, cv)
+    return out, new_kv
 
 
 def _beam_decode_forward(params, cfg: LMConfig, tok, positions,

@@ -31,26 +31,29 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-def _chunk_scores(q: jax.Array, e_chunk: jax.Array) -> jax.Array:
+def _chunk_scores(q: jax.Array, e_chunk: jax.Array,
+                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """(B, d) x (C, d) -> (B, C) inner products in f32 on the MXU.
 
-    Precision is pinned to HIGHEST: on TPU the DEFAULT matmul precision
-    lowers f32 inputs to ONE bf16 MXU pass, which silently turns the
-    "exact" method into bf16 scoring (discovered when the on-chip recall
-    oracle agreed with bf16 storage perfectly and scored true-fp16
+    The EXACT method pins precision to HIGHEST: on TPU the DEFAULT matmul
+    precision lowers f32 inputs to ONE bf16 MXU pass, which silently turns
+    the "exact" method into bf16 scoring (discovered when the on-chip
+    recall oracle agreed with bf16 storage perfectly and scored true-fp16
     storage as the less accurate one). HIGHEST uses the 6-pass f32
-    emulation — the right trade for the exactness contract this method
-    advertises; the fast paths are the pallas/approx kernels."""
+    emulation — the right trade for the exactness contract that method
+    advertises. The APPROX method keeps the fast default pass: it already
+    trades recall for speed, and a 6x scoring slowdown would defeat it."""
     return jax.lax.dot_general(
         q,
         e_chunk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
-def _scan_rows(queries, embeddings, k, chunk, select):
+def _scan_rows(queries, embeddings, k, chunk, select,
+               precision=jax.lax.Precision.HIGHEST):
     """Stream row chunks via dynamic_slice: full chunks under lax.scan, the
     remainder as its own static-size slice. No in-jit pad — padding to a
     chunk multiple would COPY the whole index per search (~13 ms/call on a
@@ -65,7 +68,7 @@ def _scan_rows(queries, embeddings, k, chunk, select):
         cs, ci = carry
         e_c = jax.lax.dynamic_slice(embeddings, (start, jnp.int32(0)),
                                     (width, d))
-        s = _chunk_scores(queries, e_c)
+        s = _chunk_scores(queries, e_c, precision)
         idx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) + start
         s, idx = select(s, idx, width)
         all_s = jnp.concatenate([cs, s], axis=1)
@@ -136,7 +139,8 @@ def mips_topk_approx(
         v, a = jax.lax.approx_max_k(s, k, recall_target=recall_target)
         return v, jnp.take_along_axis(idx, a, axis=1)
 
-    return _scan_rows(queries, embeddings, k, chunk, select)
+    return _scan_rows(queries, embeddings, k, chunk, select,
+                      precision=jax.lax.Precision.DEFAULT)
 
 
 def _next_multiple(x: int, m: int) -> int:
@@ -174,13 +178,15 @@ def mips_topk_xla_t(
     def score_cols(carry, start, width):
         cs, ci = carry
         e_c = jax.lax.dynamic_slice(embeddings_t, (0, start), (d, width))
-        # HIGHEST: same exactness contract as _chunk_scores (the TPU
-        # default would lower f32 to one bf16 pass)
+        # exact: HIGHEST, same exactness contract as _chunk_scores (the
+        # TPU default would lower f32 to one bf16 pass); approx: keep the
+        # fast default pass (see _chunk_scores)
         s = jax.lax.dot_general(
             queries, e_c,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.DEFAULT if approx
+                       else jax.lax.Precision.HIGHEST),
         )
         idx = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) + start
         s = jnp.where(idx < nv, s, NEG_INF)

@@ -352,6 +352,13 @@ class RAGModel:
         double-counting) or win a top-k selection over a real passage."""
         width = min(max(1, self.opt.retriever_n_context),
                     max(1, max(len(p) for p in file_passages)))
+        if jax.process_count() > 1:
+            # the batch-max width is per-process data-dependent, and the
+            # rescore over this pool is a global jitted program over
+            # cross-process-sharded params — per-rank shapes must match,
+            # so use the static cap (the flagship supplies exactly
+            # retriever_n_context passages anyway)
+            width = max(1, self.opt.retriever_n_context)
         pool = self._supplied_passages(file_passages, width)
         valid = np.zeros((len(file_passages), width), bool)
         for i, p in enumerate(file_passages):
@@ -618,7 +625,12 @@ class RAGModel:
         per_q = [ids[0][: int(mask[0].sum())] for ids, mask in enc]
         rep = n_rows // len(queries)
         rows = [list(ids) for ids in per_q for _ in range(rep)]
-        plen = max(1, max(len(r) for r in rows))
+        # cross-process max: a data-dependent prefix length would give
+        # each process a different decode program shape (global programs
+        # over sharded params must match)
+        from ..data.prompts import global_max_len
+
+        plen = global_max_len(max(1, max(len(r) for r in rows)))
         prefix = np.zeros((n_rows, plen), np.int32)
         lens = np.zeros((n_rows,), np.int32)
         for i, r in enumerate(rows):
@@ -640,9 +652,7 @@ class RAGModel:
             # greedy decode already captured per-token log-probs
             # (output_scores parity, src/rag.py:2286-2292): length-
             # normalized sequence score with no extra generator forward
-            n_tok = np.maximum((gen != self.generator_tokenizer.pad_id)
-                               .sum(-1), 1)
-            sent_logp = lps.sum(-1) / n_tok
+            sent_logp = self._greedy_sent_logp(gen, lps)
         else:
             # beam decode: score the continuations with one forward
             sent_logp = self._score_generations(params, queries, passages,
@@ -660,6 +670,16 @@ class RAGModel:
         best = np.argmax(total, axis=-1)
         gen = gen.reshape(b, k, -1)
         return gen[np.arange(b), best], gen
+
+    def _greedy_sent_logp(self, gen, lps):
+        """Length-normalized sequence score from greedy decode's captured
+        per-token log-probs. Numerator and denominator use the SAME
+        (gen != pad) mask — production tokenizers set pad == eos, so the
+        emitted EOS reads as pad and must drop out of both, matching
+        ``_score_generations`` (which the beam path still uses)."""
+        tok_mask = gen != self.generator_tokenizer.pad_id
+        n_tok = np.maximum(tok_mask.sum(-1), 1)
+        return (lps * tok_mask).sum(-1) / n_tok
 
     def _score_generations(self, params, queries, passages, gen_tokens):
         """Length-normalized log-prob of each generated continuation."""

@@ -149,6 +149,28 @@ def test_method_generate_shapes(setup):
     assert all_gen.shape == (2, model.opt.n_context, 4)
 
 
+def test_greedy_score_matches_rescoring_when_pad_is_eos(setup):
+    """Production HF tokenizers set pad == eos: the greedy fast-path
+    sequence score must exclude the emitted EOS from BOTH the numerator
+    and the denominator, exactly like _score_generations (the beam path),
+    or fast_deocde selection silently diverges between the two paths."""
+    model, index, params = setup
+    tok = model.generator_tokenizer
+    old_pad = tok.pad_id
+    tok.pad_id = tok.eos_id
+    try:
+        _, _, passages = model.retrieve(index, params, QUERIES,
+                                        model.opt.n_context)
+        gen, lps = model.generate(params, QUERIES, passages,
+                                  max_new_tokens=4, return_logprobs=True)
+        fast = np.asarray(model._greedy_sent_logp(gen, lps))
+        slow = np.asarray(model._score_generations(params, QUERIES,
+                                                   passages, gen))
+        np.testing.assert_allclose(fast, slow, rtol=1e-3, atol=1e-3)
+    finally:
+        tok.pad_id = old_pad
+
+
 def test_unil_postandprior_off_uses_posterior_topk(setup):
     """unil_postandprior=False: the JSA candidate set is the posterior's
     top-k alone, not the prior union (reference: src/rag.py:1873-1875)."""
