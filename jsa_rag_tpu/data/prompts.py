@@ -108,7 +108,28 @@ def _rows(queries, passages, cfg: PromptConfig):
 
 def _pad_len(lengths, multiple: int) -> int:
     m = max(lengths)
-    return ((m + multiple - 1) // multiple) * multiple
+    return global_max_len(((m + multiple - 1) // multiple) * multiple)
+
+
+def global_max_len(m: int) -> int:
+    """Cross-process max of a batch-dependent pad length. Multi-process
+    forwards are GLOBAL jitted programs over cross-process-sharded params:
+    per-rank batch-max padding (even bucketed to a multiple) crosses
+    bucket boundaries at different batches on different ranks, giving each
+    process a different program — mismatched collectives hang the job. One
+    tiny host allgather keeps lengths tight AND globally identical (the
+    reference has no such constraint: its DDP eval forward is process-
+    local). Callers must invoke this in batch lockstep — eval/train
+    batches are count-aligned, so every rank reaches each build
+    together."""
+    import jax
+
+    if jax.process_count() == 1:
+        return m
+    from jax.experimental import multihost_utils
+
+    return int(np.max(multihost_utils.process_allgather(
+        np.array([m], np.int32))))
 
 
 def build_training_batch(tokenizer, queries, passages, targets,

@@ -50,13 +50,20 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
         repeat_if_less_than_world_size=True, opt=opt, is_eval=True)
     data_iterator = filter(None, map(task.process, data_iterator))
     batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
-    batches = _pad_batches_across_processes(batches)
+    # static row count: the ragged tail batch is per-process data-dependent
+    # (rank0's tail can be 1 row while rank1's is full), and every jitted
+    # forward below is a global program over cross-process-sharded params —
+    # per-rank shapes MUST match. Also saves tail recompiles single-chip.
+    batches = (_pad_batch_rows(b, opt.per_gpu_batch_size) for b in batches)
+    batches = _pad_batches_across_processes(batches,
+                                            rows=opt.per_gpu_batch_size)
 
     task_filter = getattr(task, "filter", None)
     task_filter = task_filter if callable(task_filter) else None
 
     for batch in batches:
         queries, targets = batch["query"], batch["target"]
+        n_real = int(batch.get("__size__", len(queries)))
         # padding batches (short processes) run the FULL device pipeline —
         # retrieval collectives AND the embed/loss/decode forwards, whose
         # jit programs all-gather cross-process-sharded (FSDP/TP) params —
@@ -95,7 +102,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 
         # substring recall over retrieved passages (evaluate.py:206-209)
         if not is_dummy:
-            for i in range(len(queries)):
+            for i in range(n_real):
                 texts = [p.get("text", "") for p in passages[i]]
                 metrics["retrieval_recall"].append(
                     M.recall(texts, _answers_of(batch, i)))
@@ -114,7 +121,8 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
                 jnp.asarray(labels)))
             if not is_dummy:
                 metrics["eval_loss"].extend(
-                    per_seq.reshape(len(queries), -1).mean(-1).tolist())
+                    per_seq.reshape(len(queries), -1)
+                    .mean(-1)[:n_real].tolist())
 
         # multiple-choice: score the choice letters at the first answer
         # position instead of free generation (reference:
@@ -124,7 +132,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
                                          task.choices)
             if is_dummy:
                 continue
-            for i in range(len(queries)):
+            for i in range(n_real):
                 logits = choice_rows[i]
                 pred = max(logits, key=logits.get)
                 gold = _answers_of(batch, i)
@@ -154,7 +162,7 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
                 max_new_tokens=opt.generation_max_length)
         if is_dummy:
             continue
-        for i in range(len(queries)):
+        for i in range(n_real):
             pred = model.generator_tokenizer.decode(best[i]).strip()
             gold = _answers_of(batch, i)
             for k, v in task.evaluation(pred, gold).items():
@@ -187,8 +195,11 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
     data_iterator = filter(None, map(task.process, data_iterator))
     batches = task.batch_iterator(data_iterator, opt.per_gpu_batch_size)
     # every process must issue the same number of collective searches
-    # (short ranks get dummy batches — reference: evaluate.py:44-56)
-    batches = _pad_batches_across_processes(batches)
+    # (short ranks get dummy batches — reference: evaluate.py:44-56) with
+    # the same static row count (ragged tails are per-process)
+    batches = (_pad_batch_rows(b, opt.per_gpu_batch_size) for b in batches)
+    batches = _pad_batches_across_processes(batches,
+                                            rows=opt.per_gpu_batch_size)
     t0 = time.time()
     n = 0
     for batch in batches:
@@ -197,7 +208,7 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
                                         opt.retriever_n_context)
         if batch.get("__dummy__"):
             continue
-        for i in range(len(queries)):
+        for i in range(int(batch.get("__size__", len(queries)))):
             texts = [p.get("text", "") for p in passages[i]]
             gold = _answers_of(batch, i)
             stats.update({"recall": (M.recall(texts, gold), 1)})
@@ -247,7 +258,24 @@ def _reduce_metrics(metrics: dict) -> dict:
     return stats.average_stats
 
 
-def _pad_batches_across_processes(batches):
+def _pad_batch_rows(batch: dict, rows: int) -> dict:
+    """Pad a dict-of-lists batch to exactly ``rows`` rows by repeating its
+    last example; ``__size__`` keeps the real count so recording skips the
+    pads. Static row shapes keep the global jitted forwards (over
+    cross-process-sharded params) identical on every process whatever each
+    rank's ragged tail looks like."""
+    n = int(batch.get("__size__", len(batch["query"])))
+    if n >= rows:
+        return batch
+    out = dict(batch)
+    for k, v in batch.items():
+        if isinstance(v, list) and len(v) == n:
+            out[k] = v + [v[-1]] * (rows - n)
+    out["__size__"] = n
+    return out
+
+
+def _pad_batches_across_processes(batches, rows: int = 1):
     """Multi-process eval: every process must issue the same number of
     collective searches, so short ranks append dummy batches up to the
     global max (reference: evaluate.py:44-56 all_reduce-MAX + dummies)."""
@@ -262,9 +290,12 @@ def _pad_batches_across_processes(batches):
     if batches:
         template = {k: v for k, v in batches[-1].items()}
     else:
-        template = {"query": ["pad"], "target": ["pad"],
-                    "passages": [[{"title": "", "text": ""}]],
-                    "__size__": 1}
+        # an empty rank's dummy template must match the other ranks' batch
+        # shapes: ``rows`` rows (they row-pad to the same static count)
+        template = _pad_batch_rows(
+            {"query": ["pad"], "target": ["pad"],
+             "passages": [[{"title": "", "text": ""}]],
+             "__size__": 1}, rows)
     for _ in range(max_count - len(batches)):
         batches.append(dict(template, __dummy__=True))
     return batches

@@ -61,16 +61,30 @@ class BaseTask:
                 data_iterator, buffer_size=shuffle_buffer_size)
         batch = defaultdict(list)
         batch["__size__"] = 0
+        yielded = 0
         for example in data_iterator:
             for k, v in example.items():
                 batch[k].append(v)
             batch["__size__"] += 1
             if batch["__size__"] == batch_size:
                 yield batch
+                yielded += 1
                 batch = defaultdict(list)
                 batch["__size__"] = 0
-        if batch["__size__"] > 0 and not drop_last:
-            yield batch
+        if batch["__size__"] > 0:
+            if not drop_last:
+                yield batch
+            elif yielded == 0:
+                # a rank whose shard is smaller than one batch would yield
+                # NOTHING per epoch and spin forever while the other ranks
+                # run global train steps (collective desync/hang) — repeat
+                # examples up to a full static batch instead
+                n = batch["__size__"]
+                for k, v in list(batch.items()):
+                    if isinstance(v, list) and len(v) == n:
+                        batch[k] = [v[i % n] for i in range(batch_size)]
+                batch["__size__"] = batch_size
+                yield batch
 
     @staticmethod
     def shuffle_iterator(dataset, buffer_size: int = 65536, seed=None):

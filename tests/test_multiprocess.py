@@ -230,7 +230,7 @@ from jsa_rag_tpu.train.step import setup_params
 opt = Options(model_size="tiny", precision="fp32", use_lora=False,
               task="qa", gen_method="fast_deocde1",
               generation_max_length=4, n_context=2, retriever_n_context=4,
-              per_gpu_batch_size=1, text_maxlength=48, target_maxlength=8,
+              per_gpu_batch_size=1, text_maxlength=192, target_maxlength=8,
               dropout=0.0, tensor_parallel=True,
               checkpoint_dir={ckpt!r}, name="mpev")
 store = PassageStore.synthetic(32, seed=0)
@@ -245,11 +245,18 @@ assert any(not x.is_fully_addressable for x in
     "generator must actually shard across the two processes"
 
 # identical file content per rank; the iterator shards rows by rank:
-# rank0 gets rows 0 and 2, rank1 gets row 1 (+1 dummy batch)
+# rank0 gets rows 0 and 2, rank1 gets row 1 (+1 dummy batch). Row 1 is
+# ~90 tokens so rank1's batch-max prompt length lands in a HIGHER
+# 64-bucket than rank0's: without the cross-process pad-length sync
+# (data/prompts.py::global_max_len) the two ranks jit different decode
+# programs and hang
 data_path = os.path.join({ckpt!r}, f"dev_r{{rank}}.jsonl")
 with open(data_path, "w") as f:
     for i in range(3):
-        f.write(json.dumps({{"question": f"what is w{{i}} about",
+        q = f"what is w{{i}} about"
+        if i == 1:
+            q += " pad" * 90
+        f.write(json.dumps({{"question": q,
                             "answers": [f"w{{i + 1}}"]}}) + "\n")
 metrics = evaluate(model, index, params, opt, data_path)
 assert "exact_match" in metrics, metrics

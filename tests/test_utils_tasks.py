@@ -426,3 +426,37 @@ def test_shuffle_iterator_streams_large_datasets():
                                           seed=7))
     assert sorted(full) == data
     assert max(full[:2000]) > 5000
+
+
+def test_batch_iterator_drop_last_never_starves():
+    """drop_last=True on a shard smaller than one batch must still yield
+    one (row-repeated) full batch: a rank yielding ZERO batches per epoch
+    would spin forever while other ranks run global train steps."""
+    from jsa_rag_tpu.tasks.base import BaseTask
+
+    data = [{"query": f"q{i}", "target": f"t{i}"} for i in range(3)]
+    out = list(BaseTask.batch_iterator(iter(data), 8, drop_last=True))
+    assert len(out) == 1
+    assert len(out[0]["query"]) == 8        # static shape
+    assert out[0]["__size__"] == 8          # repeats are real examples
+    assert out[0]["query"][:3] == ["q0", "q1", "q2"]
+    assert out[0]["query"][3] == "q0"       # cyclic repeat
+    # a shard with >= one full batch keeps the plain drop_last semantics
+    out = list(BaseTask.batch_iterator(iter(data), 2, drop_last=True))
+    assert len(out) == 1 and out[0]["__size__"] == 2
+
+
+def test_eval_pad_batch_rows_static_shapes():
+    """Eval batches pad their ragged tail to a static row count; __size__
+    keeps the real count so recording skips the pads."""
+    from jsa_rag_tpu.evaluation import _pad_batch_rows
+
+    batch = {"query": ["a"], "target": ["x"],
+             "passages": [[{"title": "", "text": "p"}]], "__size__": 1}
+    out = _pad_batch_rows(batch, 4)
+    assert len(out["query"]) == 4 and out["query"][-1] == "a"
+    assert len(out["passages"]) == 4
+    assert out["__size__"] == 1
+    # full batches pass through untouched
+    full = {"query": ["a", "b"], "target": ["x", "y"], "__size__": 2}
+    assert _pad_batch_rows(full, 2) is full
