@@ -36,6 +36,8 @@ def build_index(
     prefetch: int = 2,
     length_bucket: int = 64,
     sort_window: int = 8,
+    row_range: tuple[int, int] | None = None,
+    finalize: bool = True,
 ) -> dict:
     """Embed every passage and fill the index. Returns timing stats
     (iter_stats shape mirrors the reference's runtime/indexing timers,
@@ -59,11 +61,18 @@ def build_index(
     length-sorted batching). Embeddings are un-permuted on device (one
     gather) before the contiguous scatter, so index row order is unchanged.
     1 disables sorting (batch == window).
+
+    ``row_range``: embed only passages [lo, hi) (written at their true
+    index rows) — lets long sweeps run as resumable contiguous segments
+    (a dropped tunnel retries one segment, not the whole corpus);
+    ``finalize=False`` defers coarse-quantizer training until the caller's
+    last segment.
     """
     n = len(passages)
+    lo, hi = row_range if row_range is not None else (0, n)
     t0 = time.time()
     window = batch_size * max(sort_window, 1)
-    spans = [(s, min(s + window, n)) for s in range(0, n, window)]
+    spans = [(s, min(s + window, hi)) for s in range(lo, hi, window)]
 
     def tokenize_window(span):
         start, stop = span
@@ -113,7 +122,7 @@ def build_index(
             )
             block = _unsort_rows(embs, jnp.asarray(inv, jnp.int32))
             index.set_embeddings(start, block[: stop - start])
-    if hasattr(index, "finalize"):
+    if finalize and hasattr(index, "finalize"):
         # coarse-quantized indexes cluster after the embed sweep (the
         # reference trains FAISS post-fill, src/rag.py:122-130)
         index.finalize()
@@ -122,7 +131,7 @@ def build_index(
     total = time.time() - t0
     return {
         "runtime/indexing": (total, 1),
-        "indexing/passages_per_sec": (n / max(total, 1e-9), 1),
+        "indexing/passages_per_sec": ((hi - lo) / max(total, 1e-9), 1),
     }
 
 

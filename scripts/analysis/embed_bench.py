@@ -78,6 +78,11 @@ def main():
                     help="warm compiles with a small pre-build of this many "
                          "passages instead of a full warm run (for the "
                          "measured 1.3M single-pass sweep, --runs 1)")
+    ap.add_argument("--segments", type=int, default=1,
+                    help="measure the corpus in S contiguous resumable "
+                         "segments (sum of segment times): a tunnel drop "
+                         "retries ONE segment instead of restarting the "
+                         "whole measured pass")
     args = ap.parse_args()
     if args.warm_n:
         # align the warm prefix to n's residue mod batch so the TAIL batch
@@ -159,9 +164,34 @@ def main():
                 index.set_embeddings(0, blk[:rows])
             jax.block_until_ready(index.embeddings)
         for run in range(args.runs):  # run 0 warms compiles (unless warm_n)
-            stats = build_with_retries(index, store, encode, tok,
-                                       batch_size=args.batch,
-                                       max_length=512, **kw)
+            if args.segments > 1:
+                # resumable measured pass: each contiguous segment runs
+                # the SAME pipeline (tokenize-prefetch + bucketing +
+                # scatter) over its slice; total = sum of segment times,
+                # so a tunnel drop re-runs one segment, not 1.3M rows.
+                # Segments are window-aligned so batching is identical to
+                # the single-pass sweep.
+                window = args.batch * max(kw.get("sort_window", 1), 1)
+                per = -(-args.n // args.segments)
+                per = -(-per // window) * window
+                total = 0.0
+                for lo in range(0, args.n, per):
+                    hi = min(lo + per, args.n)
+                    st = build_with_retries(
+                        index, store, encode, tok, batch_size=args.batch,
+                        max_length=512, row_range=(lo, hi),
+                        finalize=(hi == args.n), **kw)
+                    total += st["runtime/indexing"][0]
+                    print(f"#   segment [{lo}:{hi}] "
+                          f"{(hi - lo) / st['runtime/indexing'][0]:.0f} "
+                          "psgs/s", flush=True)
+                stats = {"runtime/indexing": (total, 1),
+                         "indexing/passages_per_sec":
+                             (args.n / max(total, 1e-9), 1)}
+            else:
+                stats = build_with_retries(index, store, encode, tok,
+                                           batch_size=args.batch,
+                                           max_length=512, **kw)
         pps = stats["indexing/passages_per_sec"][0]
         total = stats["runtime/indexing"][0]
         mins_21m = 21_000_000 / (pps * 16) / 60

@@ -209,3 +209,39 @@ def test_build_index_sorted_windows(mesh_flat):
         embs[window] = np.asarray(index.embeddings_as_float())
     assert np.abs(embs[8]).sum() > 0
     np.testing.assert_allclose(embs[8], embs[1], atol=1e-5)
+
+
+def test_build_index_row_range_segments(mesh_flat):
+    """Window-aligned segmented builds (row_range slices) produce a
+    bit-identical index to one full pass — the resumable-sweep contract
+    embed_bench relies on (it aligns segment bounds to the sort window so
+    batch composition is unchanged)."""
+    from jsa_rag_tpu.index.flat import ShardedFlatIndex
+    from jsa_rag_tpu.index.build import build_index, make_encode_fn
+
+    tok = SimpleTokenizer(max_vocab=2000)
+    store = PassageStore.synthetic(100, seed=3)
+    cfg = RetrieverConfig(
+        bert=BertConfig(vocab_size=2000, hidden=32, layers=2, heads=4,
+                        intermediate=64, max_positions=64,
+                        pooling="mean_norm"),
+        tied=True)
+    ret = DualEncoderRetriever(cfg)
+    params = ret.init(jax.random.PRNGKey(0))
+    encode = make_encode_fn(ret)
+
+    full = ShardedFlatIndex(mesh_flat, len(store), 32,
+                            dtype=jnp.float32, method="exact")
+    build_index(full, store, lambda i, m: encode(params, i, m), tok,
+                batch_size=8, max_length=64, length_bucket=16,
+                sort_window=4)
+    seg = ShardedFlatIndex(mesh_flat, len(store), 32,
+                           dtype=jnp.float32, method="exact")
+    for lo, hi in [(0, 32), (32, 64), (64, 100)]:  # window = 8*4 = 32
+        build_index(seg, store, lambda i, m: encode(params, i, m), tok,
+                    batch_size=8, max_length=64, length_bucket=16,
+                    sort_window=4, row_range=(lo, hi),
+                    finalize=(hi == 100))
+    np.testing.assert_array_equal(
+        np.asarray(full.embeddings_as_float()),
+        np.asarray(seg.embeddings_as_float()))
