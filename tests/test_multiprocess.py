@@ -123,7 +123,7 @@ from jsa_rag_tpu.train.step import (host_batch_rows, init_opt_state,
 
 opt_t = Options(model_size="tiny", precision="fp32", use_lora=False,
                 gold_score_mode="jsa", n_context=2, mis_step=2,
-                text_maxlength=48, target_maxlength=8,
+                text_maxlength=192, target_maxlength=8,
                 per_gpu_batch_size=1, dropout=0.0, mesh_data=2)
 store_t = PassageStore.synthetic(32, seed=0)
 model_t, params_t, _ = load_or_initialize_model(opt_t, store_t)
@@ -134,7 +134,12 @@ idx_t = ShardedFlatIndex(mesh_t, len(store_t),
 model_t.build_index(idx_t, params_t)
 rows_local = host_batch_rows(opt_t, mesh_t)
 assert rows_local == 1, rows_local
-all_q = [f"what is w{{i}} about" for i in range(2)]
+# rank1's row is ~90 tokens: its local batch-max prompt length lands in
+# a HIGHER 64-bucket than rank0's, so assembling the global batch from
+# process-local rows (and the reference's allgather below) only works
+# because build_training_batch syncs pad lengths across processes
+# (data/prompts.py::global_max_len)
+all_q = ["what is w0 about", "what is w1 about" + " pad" * 90]
 all_t = [f"w{{i + 1}}" for i in range(2)]
 lo_q = all_q[rank * rows_local:(rank + 1) * rows_local]
 lo_t = all_t[rank * rows_local:(rank + 1) * rows_local]
