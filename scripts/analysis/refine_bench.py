@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Same-session A/B of the fp16 coarse-refine search's two phases.
+
+The production default search (fp16-bits storage, ``refine=4``) is a
+bf16-speed coarse Pallas scan plus an f32 rescore of the top-(r*k)
+candidates (`ops/mips_pallas2.py::_f16_refine`). The rescore gathers
+B*r*k fp16 columns out of the (d, N) index — a strided HBM access
+pattern whose cost is invisible in FLOP terms. This bench times, in ONE
+session (tunnel numbers are only comparable same-session):
+
+  bf16        : mips_topk_pallas2_t (the max-throughput reference point)
+  f16 refine  : the production default (coarse + rescore)
+  f16 exact   : the 3-matmul hi/lo kernel (no rescore)
+  rescore-only: _f16_refine on fixed candidate ids
+  rescore-sorted: same, ids pre-sorted per row (gather locality probe)
+
+Usage: python scripts/analysis/refine_bench.py [--n 1300000 --d 1024]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_300_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--refine", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits, _f16_refine,
+                                              mips_topk_pallas2_f16_t,
+                                              mips_topk_pallas2_t)
+
+    n, d, b, k = args.n, args.d, args.b, args.k
+    n_pad = -(-n // 2048) * 2048
+
+    @jax.jit
+    def make(key):
+        e = jax.random.normal(key, (n, d), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        bt = f16_to_bits(e.astype(jnp.float16)).T
+        et = e.astype(jnp.bfloat16).T
+        return (jnp.pad(bt, ((0, 0), (0, n_pad - n))),
+                jnp.pad(et, ((0, 0), (0, n_pad - n))))
+
+    ebt, et = make(jax.random.PRNGKey(0))
+    jax.block_until_ready(ebt)
+    rng = np.random.default_rng(0)
+    qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+          for _ in range(args.iters)]
+    kc = args.refine * k
+    ids_fix = jnp.asarray(rng.integers(0, n, (b, kc)), jnp.int32)
+    ids_sort = jnp.sort(ids_fix, axis=1)
+    nv = jnp.asarray([n], jnp.int32)
+
+    refine_j = jax.jit(lambda q, ids: _f16_refine(q, ebt, ids, k, nv))
+    methods = {
+        "bf16": lambda q: mips_topk_pallas2_t(
+            q.astype(jnp.bfloat16), et, k, tile_q=256, valid_n=n),
+        "f16_refine": lambda q: mips_topk_pallas2_f16_t(
+            q, ebt, k, tile_q=256, valid_n=n, pool_n=n, refine=args.refine),
+        "f16_exact": lambda q: mips_topk_pallas2_f16_t(
+            q, ebt, k, tile_q=256, valid_n=n, pool_n=n),
+        "rescore_only": lambda q: refine_j(q, ids_fix),
+        "rescore_sorted": lambda q: refine_j(q, ids_sort),
+    }
+
+    def measure(fn):
+        carry = jnp.zeros((b, 1), jnp.float32)
+        for rep in (2, args.iters):  # rep-2 warms, rep-iters measures
+            t0 = time.time()
+            c = carry
+            for t in range(rep):
+                v, _ = fn(qs[t % len(qs)] + c * 0)
+                c = c + v[:, :1] * 1e-9
+            _ = np.asarray(c)
+            dt = time.time() - t0 - 0.026
+        return rep * b / max(dt, 1e-9), dt / rep * 1e3
+
+    for name, fn in methods.items():
+        qps, ms = measure(fn)
+        print(f"{name:15s} {ms:8.2f} ms/call {qps:9.0f} qps", flush=True)
+
+
+if __name__ == "__main__":
+    main()
