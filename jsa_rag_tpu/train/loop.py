@@ -259,7 +259,18 @@ def train(
                                  params["retriever"],
                                  tokenizer=model.retriever_tokenizer)
 
-            if stop_requested["flag"]:
+            stop_now = stop_requested["flag"]
+            if jax.process_count() > 1:
+                # the signal may land on ONE process (cluster managers
+                # vary); the preemption checkpoint's host fetch is
+                # collective, so the decision must be global — any-rank
+                # OR, synced every step (the reference pays an equivalent
+                # per-step dist.barrier(), train.py:377)
+                from jax.experimental import multihost_utils as mhu
+
+                stop_now = bool(np.max(mhu.process_allgather(
+                    np.array([stop_now], np.int32))))
+            if stop_now:
                 # preemption: checkpoint and exit cleanly; a restart with
                 # --model_path <run dir> resumes from here (all processes
                 # enter: the host fetch is collective, writes rank-0)
