@@ -121,8 +121,15 @@ class Options:
     # (src/index.py:52) and the best measured recall vs a true-f32 oracle
     # (0.9986/0.9995 @20/@100 at 1.3M x 1024 realistic-spectrum, vs bf16's
     # 0.9929/0.9946 — docs/BENCHMARKS.md); bfloat16 is the max-throughput
-    # option, int8 the half-memory one
+    # option, int8 the half-memory one; "hybrid" stores fp16 rows + a
+    # derived transposed int8 coarse copy (int8-scan speed at fp16 recall,
+    # 1.5x fp16 HBM)
     index_dtype: str = "float16"
+    # fp16 refine-rescore candidate gather: "cols" gathers strided columns
+    # of the (d, N) store (no extra HBM); "rows" keeps a row-major copy for
+    # contiguous gathers (2x index HBM) — A/B via
+    # scripts/analysis/refine_bench.py before flipping the default
+    refine_gather: str = "cols"
     # reference FAISS flags (src/options.py:553-588): with
     # --index_mode faiss, faiss_index_type selects flat / ivfflat / ivfsq /
     # ivfpq / pq; faiss_code_size is the PQ bytes-per-vector (flagship: 32,

@@ -14,14 +14,16 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
     import jax.numpy as jnp
 
     dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
-             "float32": jnp.float32, "int8": jnp.int8}[opt.index_dtype]
+             "float32": jnp.float32, "int8": jnp.int8,
+             "hybrid": "hybrid"}[opt.index_dtype]
     mode = opt.index_mode
     storage, n_lists, n_probe = "dense", opt.ivf_n_lists or None, \
         opt.ivf_n_probe or None
     if mode == "faiss":
         ftype = opt.faiss_index_type
         if ftype == "flat":
-            return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype)
+            return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
+                                    refine_gather=opt.refine_gather)
         mode = "ivf"
         storage = {"ivfflat": "dense", "ivfsq": "sq8",
                    "ivfpq": "pq", "pq": "pq"}[ftype]
@@ -35,11 +37,13 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
                                n_lists=n_lists, n_probe=n_probe,
                                storage=storage,
                                code_size=opt.faiss_code_size)
-    return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype)
+    return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
+                            refine_gather=opt.refine_gather)
 
 
 def load_index(path: str, mesh, method: str = "auto",
-               expected_dim: int | None = None):
+               expected_dim: int | None = None,
+               refine_gather: str = "cols"):
     """Load a saved index, dispatching on its meta ``kind`` (flat / ivf).
     ``expected_dim`` validates against the live retriever's hidden size."""
     import json
@@ -53,6 +57,7 @@ def load_index(path: str, mesh, method: str = "auto",
         index = ShardedIVFIndex.load(path, mesh)
     else:
         index = ShardedFlatIndex.load(path, mesh, method=method)
+        index.refine_gather = refine_gather
     if expected_dim is not None and index.dim != expected_dim:
         raise ValueError(
             f"loaded index dim {index.dim} != retriever hidden "

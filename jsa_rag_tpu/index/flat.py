@@ -80,11 +80,16 @@ def gather_queries_across_processes(q) -> tuple[jax.Array, int, int]:
     return jnp.asarray(all_q), jax.process_index() * b_max, b_local
 
 
-def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
-                      shard_rows, n_padded, method, axes, transposed):
+def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
+                      k, n_true, shard_rows, n_padded, method, axes,
+                      transposed, hybrid=False, refine_r=4):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
     this device's block of the global matrix — (d, shard_rows) when the
-    storage is transposed (dense), (shard_rows, d) otherwise.
+    storage is transposed (dense), (shard_rows, d) otherwise. ``aux_shard``
+    is the int8 per-row scales (row-major storage) or the optional
+    row-major refine-gather copy (transposed fp16 storage). Hybrid storage
+    passes emb_shard = fp16-bits rows, aux_shard = derived (d, shard) int8,
+    scale_shard = derived (1, shard) dequant scales.
 
     Padding rows (global id >= n_true) are zero vectors; they score 0 and can
     displace valid negative-score candidates from a shard's local top-k, so
@@ -92,7 +97,19 @@ def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
     post-hoc mask — this keeps the merged global top-k exact.
     """
     shard_pos = jax.lax.axis_index(axes)
-    if transposed:
+    if hybrid:
+        # int8 coarse scan over the derived transposed copy + f32-on-fp16
+        # rescore from the primary rows store; pad columns masked by the
+        # runtime valid count exactly as in the transposed branch
+        from ..ops.mips_pallas2 import mips_topk_pallas2_int8_t
+
+        n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)
+        max_pads = min(shard_rows, n_padded - n_true)
+        scores, local_idx = mips_topk_pallas2_int8_t(
+            q, aux_shard, scale_shard, min(shard_rows, k),
+            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
+            refine=refine_r, emb_rows=emb_shard)
+    elif transposed:
         # the kernel masks the shard's pad columns itself via the runtime
         # valid count (no zero-score pads can displace candidates, so no
         # k widening; storage is tile-aligned so no in-search pad copy).
@@ -104,15 +121,16 @@ def _search_one_shard(q, emb_shard, scales_shard=None, *, k, n_true,
         max_pads = min(shard_rows, n_padded - n_true)
         scores, local_idx = mips.mips_topk_t(
             q, emb_shard, min(shard_rows, k), method=method,
-            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads))
+            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
+            emb_rows=aux_shard)
     else:
         max_pads = min(shard_rows, n_padded - n_true)
         k_local = min(shard_rows, k + max_pads)
-        if scales_shard is not None:
+        if aux_shard is not None:
             from ..ops.mips_pallas2 import mips_topk_pallas2_int8
 
             scores, local_idx = mips_topk_pallas2_int8(q, emb_shard,
-                                                       scales_shard, k_local)
+                                                       aux_shard, k_local)
         else:
             scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
                                                method=method)
@@ -142,9 +160,34 @@ class ShardedFlatIndex:
         dim: int,
         dtype=jnp.float16,
         method: mips.Method = "auto",
+        refine_gather: str = "cols",
     ):
         self.mesh = mesh
         self.dim = dim
+        # "rows": keep a row-major (shard_rows, d) copy per shard so the
+        # fp16 coarse-refine rescore gathers candidates as contiguous rows
+        # instead of fully strided (d, N) columns — 2x index HBM for a
+        # bandwidth-friendly refine (see mips_pallas2_f16_t docstring).
+        # The copy is derived lazily (one local transpose per rebuild),
+        # keyed on the embeddings buffer identity, so every write path
+        # (build scatter, double-buffered refresh swap) invalidates it
+        # for free.
+        self.refine_gather = refine_gather
+        self._rows_cache = None
+        # "hybrid" storage (dtype="hybrid" / config --index_dtype hybrid):
+        # the PRIMARY store is row-major fp16 bits (N, d) — the >=0.99-recall
+        # precision, contiguous for the refine gather and trivially
+        # save/loadable — and the coarse-scan representation, a transposed
+        # (d, N) int8 copy + per-column scales, is DERIVED from it lazily
+        # (identity-keyed like the refine rows copy). Search = int8 coarse
+        # scan (1 byte/element HBM, int8 MXU) + f32-on-fp16 rescore of the
+        # top-(r*k): fp16-level recall at int8 scan bandwidth for 1.5x the
+        # fp16-alone HBM.
+        self.store_hybrid = isinstance(dtype, str) and dtype == "hybrid"
+        self._hybrid_cache = None
+        self.refine_r = 4
+        if self.store_hybrid:
+            dtype = jnp.float16
         # fp16 is stored as raw IEEE-half bits (int16): Mosaic has no f16
         # type, so the fused kernel decodes in-kernel (mips_pallas2_f16) —
         # reference-parity fp16 memory (src/index.py:52) at pallas speed.
@@ -159,7 +202,9 @@ class ShardedFlatIndex:
         # fused kernels consume them MXU-direct (fp16 decodes its raw bits
         # in-kernel, mips_pallas2_f16_t); int8 stays row-major for its
         # per-row scale layout
-        self.transposed = not self.store_int8
+        # hybrid's PRIMARY buffer is the row-major fp16-bits rescore store
+        # (its transposed int8 coarse copy is derived lazily)
+        self.transposed = not self.store_int8 and not self.store_hybrid
         self.method = method
         self.n_passages = n_passages
         self.n_shards = mesh.devices.size
@@ -169,7 +214,10 @@ class ShardedFlatIndex:
         # valid_n scalar masks the over-allocation. Small/quantized shards
         # keep the minimal 8-row alignment.
         base = int(math.ceil(n_passages / self.n_shards / 8) * 8)
-        align = 2048 if (self.transposed and base >= 2048) else 8
+        # hybrid aligns like transposed storage so its DERIVED (d, shard)
+        # int8 copy is pallas-tile-aligned (no in-search re-pad)
+        align = 2048 if ((self.transposed or self.store_hybrid)
+                         and base >= 2048) else 8
         self.shard_rows = int(math.ceil(n_passages / self.n_shards / align)
                               * align)
         self.n_padded = self.shard_rows * self.n_shards
@@ -251,9 +299,50 @@ class ShardedFlatIndex:
         return self._run_search(q, k)
 
     def _run_search(self, q, k: int):
+        if self.store_hybrid:
+            e8t, s8 = self._hybrid_copies()
+            return self._get_search_fn(k, hybrid=True)(
+                q, self.embeddings, e8t, s8)
         if self.store_int8:
             return self._get_search_fn(k)(q, self.embeddings, self.scales)
+        rows = self._rows_copy()
+        if rows is not None:
+            return self._get_search_fn(k, with_rows=True)(
+                q, self.embeddings, rows)
         return self._get_search_fn(k)(q, self.embeddings)
+
+    def _hybrid_copies(self):
+        """Derived coarse-scan representation for hybrid storage: the
+        primary fp16-bits rows decoded and per-row int8-quantized, laid out
+        transposed (d, N) + (1, N) scales for the int8 ``_t`` kernel.
+        Rebuilt on first search after any embeddings swap (same identity
+        key as the refine rows copy)."""
+        if (self._hybrid_cache is None
+                or self._hybrid_cache[0] is not self.embeddings):
+            from ..ops.mips_pallas2 import quantize_int8
+
+            col_sh = NamedSharding(self.mesh, P(None, AXES.all))
+
+            @functools.partial(jax.jit, out_shardings=(col_sh, col_sh))
+            def derive(bits_rows):
+                x = jax.lax.bitcast_convert_type(
+                    bits_rows, jnp.float16).astype(jnp.float32)
+                v, s = quantize_int8(x)
+                return v.T, s.reshape(1, -1)
+
+            self._hybrid_cache = (self.embeddings, derive(self.embeddings))
+        return self._hybrid_cache[1]
+
+    def _rows_copy(self):
+        """Row-major refine-gather copy (refine_gather="rows" + fp16 bits
+        only), rebuilt on first search after any embeddings swap."""
+        if not (self.store_f16_bits and self.refine_gather == "rows"):
+            return None
+        if self._rows_cache is None or self._rows_cache[0] is not self.embeddings:
+            rows_sharding = NamedSharding(self.mesh, P(AXES.all, None))
+            t = jax.jit(jnp.transpose, out_shardings=rows_sharding)
+            self._rows_cache = (self.embeddings, t(self.embeddings))
+        return self._rows_cache[1]
 
     def _search_multiprocess(self, q, k: int):
         """Gather ragged per-process query batches (pad to the global max),
@@ -265,8 +354,9 @@ class ShardedFlatIndex:
         return (np.asarray(scores)[lo:lo + b_local],
                 np.asarray(ids)[lo:lo + b_local])
 
-    def _get_search_fn(self, k: int):
-        key = (k, self.n_passages)
+    def _get_search_fn(self, k: int, with_rows: bool = False,
+                       hybrid: bool = False):
+        key = (k, self.n_passages, with_rows, hybrid, self.refine_r)
         if self._search_fn is None or self._search_fn[0] != key:
             body = functools.partial(
                 _search_one_shard,
@@ -277,11 +367,18 @@ class ShardedFlatIndex:
                 method=self.method,
                 axes=AXES.all,
                 transposed=self.transposed,
+                hybrid=hybrid,
+                refine_r=self.refine_r,
             )
-            if self.store_int8:
+            if hybrid:
+                in_specs = (P(), P(AXES.all, None), P(None, AXES.all),
+                            P(None, AXES.all))
+            elif self.store_int8:
                 in_specs = (P(), P(AXES.all, None), P(AXES.all, None))
             elif self.transposed:
                 in_specs = (P(), P(None, AXES.all))
+                if with_rows:
+                    in_specs += (P(AXES.all, None),)
             else:
                 in_specs = (P(), P(AXES.all, None))
             mapped = shard_map(
@@ -328,6 +425,7 @@ class ShardedFlatIndex:
             "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
             "store_int8": self.store_int8,
             "store_f16_bits": self.store_f16_bits,
+            "store_hybrid": self.store_hybrid,
             "n_files": n_files,
             "kind": "flat",
         }
@@ -340,9 +438,13 @@ class ShardedFlatIndex:
             meta = json.load(f)
         # saved arrays are the STORED representation (bits / int8 codes) —
         # construct with a plain dtype and write rows raw, restoring the
-        # storage flags afterwards (re-quantizing codes would corrupt scales)
+        # storage flags afterwards (re-quantizing codes would corrupt
+        # scales). Hybrid must construct as hybrid: its primary layout is
+        # row-major (plain int16 would allocate transposed).
+        dtype = ("hybrid" if meta.get("store_hybrid")
+                 else jnp.dtype(meta["dtype"]))
         idx = cls(mesh, meta["n_passages"], meta["dim"],
-                  dtype=jnp.dtype(meta["dtype"]), method=method)
+                  dtype=dtype, method=method)
         start = 0
         for i in range(meta["n_files"]):
             block = np_load(os.path.join(path, f"embeddings.{i}.npy"), idx.dtype)

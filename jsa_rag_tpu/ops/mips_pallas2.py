@@ -504,6 +504,7 @@ def mips_topk_pallas2_f16_t(
     t_per_tile: int = 4,
     interpret: bool | None = None,
     refine: int = 0,
+    emb_rows: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused MIPS over a transposed fp16-bits (d, N) index — fp16 storage
     (2 bytes/element, reference parity) in the production contraction-major
@@ -518,7 +519,15 @@ def mips_topk_pallas2_f16_t(
     candidates are rescored at FULL f32 precision (gather + HIGHEST
     einsum), giving better-than-fp16 final scores at near-bf16 throughput.
     The candidates lost to bf16 coarse scoring are those outside the
-    top-(r*k) despite being in the fp16 top-k — vanishing for r >= 4."""
+    top-(r*k) despite being in the fp16 top-k — vanishing for r >= 4.
+
+    ``emb_rows`` (optional, (N, d) int16 raw half bits): a ROW-major copy
+    of the index used only by the refine rescore's candidate gather. The
+    default gather pulls B*r*k columns out of the contraction-major
+    (d, N) array — each candidate's d elements are N*2 bytes apart, a
+    maximally strided HBM pattern; with the rows copy each candidate is
+    one contiguous 2d-byte read. Costs 2x index HBM; enable per
+    measurement (scripts/analysis/refine_bench.py)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, d = queries.shape
@@ -596,19 +605,29 @@ def mips_topk_pallas2_f16_t(
     if not refine:
         return _merge_candidates(cand_s, cand_i, k, b)
     _, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
-    return _f16_refine(q[:b], emb_bits_t, ids, k, nv)
+    return _f16_refine(q[:b], emb_bits_t, ids, k, nv, emb_rows=emb_rows)
 
 
-def _f16_refine(q, emb_bits_t, ids, k: int, nv):
+def _f16_refine(q, emb_bits_t, ids, k: int, nv, emb_rows=None):
     """Rescore coarse candidates at full f32 precision: gather their fp16
     columns, decode, and contract with HIGHEST-precision matmuls (6-pass
     f32 — trivial at (B, r*k) scale). ids beyond the valid count score
-    NEG_INF (they can only appear when r*k exceeds the valid rows)."""
+    NEG_INF (they can only appear when r*k exceeds the valid rows).
+
+    With ``emb_rows`` (a row-major (N, d) copy) the gather reads each
+    candidate as one contiguous row instead of a fully strided column of
+    the (d, N) store; out-of-range pad ids clip (jnp.take default) and
+    are masked below either way. ``emb_bits_t`` may be None on the rows
+    path (the int8 hybrid has no fp16 column store at all)."""
     b, kc = ids.shape
-    d = emb_bits_t.shape[0]
-    cols = jnp.take(emb_bits_t, ids.reshape(-1), axis=1)  # (d, B*Kc)
-    x = jax.lax.bitcast_convert_type(
-        cols.T.reshape(b, kc, d), jnp.float16).astype(jnp.float32)
+    d = q.shape[1]
+    if emb_rows is not None:
+        x = jax.lax.bitcast_convert_type(
+            jnp.take(emb_rows, ids, axis=0), jnp.float16).astype(jnp.float32)
+    else:
+        cols = jnp.take(emb_bits_t, ids.reshape(-1), axis=1)  # (d, B*Kc)
+        x = jax.lax.bitcast_convert_type(
+            cols.T.reshape(b, kc, d), jnp.float16).astype(jnp.float32)
     s = jnp.einsum("bd,bkd->bk", q, x,
                    precision=jax.lax.Precision.HIGHEST)
     s = jnp.where(ids < nv[0], s, NEG_INF)
@@ -652,6 +671,139 @@ def _topt_int8_kernel(qv_ref, qs_ref, e_ref, es_ref, out_s_ref, out_i_ref,
         out_s_ref[0, :, t] = v
         out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
         s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+def _topt_int8_kernel_t(qv_ref, qs_ref, e_ref, es_ref, nv_ref, out_s_ref,
+                        out_i_ref, *, t_per_tile: int, tile_n: int):
+    """Transposed int8 scoring: e_ref is a (d, tile_n) block of a (d, N)
+    int8 index — contraction-major, MXU-direct (same layout win as
+    ``_topt_kernel_t``) — with per-COLUMN dequant scales es_ref (1, tile_n)
+    and the runtime valid-count scalar of the ``_t`` kernel family."""
+    nt = pl.program_id(1)
+    acc = jax.lax.dot_general(
+        qv_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = acc.astype(jnp.float32) * qs_ref[:] * es_ref[0][None, :]
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "pool_n", "tile_q", "tile_n", "t_per_tile",
+                     "interpret", "refine"),
+)
+def mips_topk_pallas2_int8_t(
+    queries: jax.Array,        # (B, d) f32
+    emb_q_t: jax.Array,        # (d, N) int8 — contraction-major
+    emb_scale_row: jax.Array,  # (1, N) f32 per-column dequant scales
+    k: int,
+    *,
+    valid_n: jax.Array | int | None = None,
+    pool_n: int | None = None,
+    tile_q: int = 256,
+    tile_n: int = 2048,
+    t_per_tile: int = 4,
+    interpret: bool | None = None,
+    refine: int = 0,
+    emb_rows: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused MIPS over a transposed (d, N) int8 index.
+
+    ``refine=0``: scores are the int8 dequant products (1 byte/element —
+    half the fp16/bf16 HBM traffic, int8 MXU rate; recall bounded by the
+    per-row quantizer, ~0.94 @100 at flagship geometry).
+    ``refine=r>0`` + ``emb_rows`` ((N, d) int16 raw half bits): the HYBRID
+    mode — int8 coarse scan selects top-(r*k) candidates, then the shared
+    f32 rescore (``_f16_refine``) rescores them from the row-major fp16
+    copy. Coarse reads 1 byte/element at int8 MXU rate; final scores are
+    f32-on-fp16 (the >=0.99-recall storage) — int8 scan speed at fp16
+    recall for 1.5x fp16-alone HBM (int8 cols + fp16 rows).
+    ``valid_n``/``pool_n`` as in ``mips_topk_pallas2_t``."""
+    if refine and emb_rows is None:
+        raise ValueError("hybrid int8 refine needs the fp16 emb_rows copy")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, d = queries.shape
+    n = emb_q_t.shape[1]
+    k = min(k, n)
+    k_sel = min(refine * k, n) if refine else k
+    if valid_n is None:
+        valid_n = n
+    nv = jnp.asarray(valid_n, jnp.int32).reshape(1)
+    tile_n = min(tile_n, _round_up(n, 128))
+    t = _pool_t(k_sel, min(n, pool_n if pool_n is not None else n),
+                tile_n, t_per_tile)
+
+    q = queries.astype(jnp.float32)
+    qv, qs = quantize_int8(q)
+
+    b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
+    tile_q = min(tile_q, b_pad)
+    b_pad = _round_up(b_pad, tile_q)
+    if b_pad != b:
+        qv = jnp.pad(qv, ((0, b_pad - b), (0, 0)))
+        qs = jnp.pad(qs, ((0, b_pad - b), (0, 0)))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        emb_q_t = jnp.pad(emb_q_t, ((0, 0), (0, n_pad - n)))
+        emb_scale_row = jnp.pad(emb_scale_row, ((0, 0), (0, n_pad - n)))
+    n_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topt_int8_kernel_t, t_per_tile=t,
+                               tile_n=tile_n)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=(b_pad // tile_q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda qt, nt: (qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda qt, nt: (0, nt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b_pad, t), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=b_pad * d + n_pad * d
+            + b_pad * n_tiles * t * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qv, qs, emb_q_t, emb_scale_row, nv)
+
+    cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
+    if not refine:
+        return _merge_candidates(cand_s, cand_i, k, b)
+    _, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
+    return _f16_refine(q[:b], None, ids, k, nv, emb_rows=emb_rows)
 
 
 @functools.partial(

@@ -10,9 +10,14 @@ session (tunnel numbers are only comparable same-session):
 
   bf16        : mips_topk_pallas2_t (the max-throughput reference point)
   f16 refine  : the production default (coarse + rescore)
+  f16 refine rows: same, rescore gathers from a row-major (N, d) copy
+                (contiguous per-candidate reads, 2x index HBM)
   f16 exact   : the 3-matmul hi/lo kernel (no rescore)
   rescore-only: _f16_refine on fixed candidate ids
   rescore-sorted: same, ids pre-sorted per row (gather locality probe)
+  rescore-rows: _f16_refine on the same ids via the row-major copy
+  int8_coarse : transposed int8 kernel, no refine (1 byte/elt scan)
+  int8_hybrid : int8 coarse + f32-on-fp16 rescore from the rows copy
 
 Usage: python scripts/analysis/refine_bench.py [--n 1300000 --d 1024]
 """
@@ -41,7 +46,9 @@ def main():
 
     from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits, _f16_refine,
                                               mips_topk_pallas2_f16_t,
-                                              mips_topk_pallas2_t)
+                                              mips_topk_pallas2_int8_t,
+                                              mips_topk_pallas2_t,
+                                              quantize_int8)
 
     n, d, b, k = args.n, args.d, args.b, args.k
     n_pad = -(-n // 2048) * 2048
@@ -50,12 +57,15 @@ def main():
     def make(key):
         e = jax.random.normal(key, (n, d), jnp.float32)
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-        bt = f16_to_bits(e.astype(jnp.float16)).T
+        b = f16_to_bits(e.astype(jnp.float16))
         et = e.astype(jnp.bfloat16).T
-        return (jnp.pad(bt, ((0, 0), (0, n_pad - n))),
-                jnp.pad(et, ((0, 0), (0, n_pad - n))))
+        v8, s8 = quantize_int8(e)
+        return (jnp.pad(b.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(et, ((0, 0), (0, n_pad - n))), b,
+                jnp.pad(v8.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(s8.reshape(1, n), ((0, 0), (0, n_pad - n))))
 
-    ebt, et = make(jax.random.PRNGKey(0))
+    ebt, et, ebr, e8t, e8s = make(jax.random.PRNGKey(0))
     jax.block_until_ready(ebt)
     rng = np.random.default_rng(0)
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
@@ -66,15 +76,26 @@ def main():
     nv = jnp.asarray([n], jnp.int32)
 
     refine_j = jax.jit(lambda q, ids: _f16_refine(q, ebt, ids, k, nv))
+    refine_r = jax.jit(
+        lambda q, ids: _f16_refine(q, ebt, ids, k, nv, emb_rows=ebr))
     methods = {
         "bf16": lambda q: mips_topk_pallas2_t(
             q.astype(jnp.bfloat16), et, k, tile_q=256, valid_n=n),
         "f16_refine": lambda q: mips_topk_pallas2_f16_t(
             q, ebt, k, tile_q=256, valid_n=n, pool_n=n, refine=args.refine),
+        "f16_refine_rows": lambda q: mips_topk_pallas2_f16_t(
+            q, ebt, k, tile_q=256, valid_n=n, pool_n=n, refine=args.refine,
+            emb_rows=ebr),
         "f16_exact": lambda q: mips_topk_pallas2_f16_t(
             q, ebt, k, tile_q=256, valid_n=n, pool_n=n),
         "rescore_only": lambda q: refine_j(q, ids_fix),
         "rescore_sorted": lambda q: refine_j(q, ids_sort),
+        "rescore_rows": lambda q: refine_r(q, ids_fix),
+        "int8_coarse": lambda q: mips_topk_pallas2_int8_t(
+            q, e8t, e8s, k, tile_q=256, valid_n=n, pool_n=n),
+        "int8_hybrid": lambda q: mips_topk_pallas2_int8_t(
+            q, e8t, e8s, k, tile_q=256, valid_n=n, pool_n=n,
+            refine=args.refine, emb_rows=ebr),
     }
 
     def measure(fn):

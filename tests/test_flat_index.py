@@ -218,3 +218,52 @@ def test_transposed_pad_starved_shard_keeps_topk(mesh_flat):
     want = set(np.argsort(-(eb @ q[0]))[:k].tolist())
     missed = want - got
     assert not missed, f"lost {len(missed)} of top-{k}: {sorted(missed)[:8]}"
+
+
+def test_hybrid_storage_through_shards(mesh_flat):
+    """Hybrid storage (fp16 rows primary + derived transposed int8 coarse
+    copy): with the per-shard refine pool covering the whole shard the
+    search is EXACTLY the fp16 oracle — int8 only steers candidate
+    selection, the returned scores are f32-on-fp16. Also covers the
+    derived-copy invalidation on rebuild."""
+    rng = np.random.default_rng(53)
+    n, d, k = 700, 32, 12  # 8 shards -> 88-row shards (+ padded tail)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype="hybrid", method="pallas2")
+    assert idx.store_hybrid and not idx.transposed
+    idx.refine_r = 8  # 8*12 = 96 >= 88-row shards: full per-shard coverage
+    idx.set_embeddings(0, np.roll(e, 3, axis=0))  # wrong data first
+    idx.search(jnp.asarray(rng.standard_normal((2, d)).astype(np.float32)), k)
+    idx.set_embeddings(0, e)  # must invalidate the derived int8 copy
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    s, i = idx.search(jnp.asarray(q), k)
+    s, i = np.asarray(s), np.asarray(i)
+    assert i.max() < n and i.min() >= 0
+    oracle = q @ e.astype(np.float16).astype(np.float32).T
+    oi = np.argsort(-oracle, axis=1)[:, :k]
+    for row in range(5):
+        assert set(i[row]) == set(oi[row]), (i[row], oi[row])
+    np.testing.assert_allclose(
+        s, np.take_along_axis(oracle, i, axis=1), rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_save_load_roundtrip(tmp_path, mesh_flat):
+    """Hybrid round-trips through the row-major on-disk format: the loaded
+    index is hybrid again (row-major primary), searches identically."""
+    rng = np.random.default_rng(59)
+    n, d, k = 300, 16, 7
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedFlatIndex(mesh_flat, n, d, dtype="hybrid", method="pallas2")
+    idx.refine_r = 8
+    idx.set_embeddings(0, e)
+    idx.save(str(tmp_path / "hy"), n_files=4)
+    idx2 = ShardedFlatIndex.load(str(tmp_path / "hy"), mesh_flat,
+                                 method="pallas2")
+    assert idx2.store_hybrid and not idx2.transposed
+    idx2.refine_r = 8
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    s1, i1 = idx.search(jnp.asarray(q), k)
+    s2, i2 = idx2.search(jnp.asarray(q), k)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=0, atol=0)

@@ -324,6 +324,18 @@ def test_pallas2_f16_refine_matches_f32_oracle():
                            method="pallas2", valid_n=n, pool_n=n)
     np.testing.assert_allclose(np.asarray(vs2), ov, rtol=1e-5, atol=1e-5)
 
+    # the row-major refine gather is numerically identical to the column
+    # gather (same candidates, same f32 rescore) — only the HBM access
+    # pattern differs. Rows copy deliberately excludes the garbage pad
+    # columns: out-of-range ids clip and are masked by valid_n.
+    bits_rows = np.asarray(f16_to_bits(jnp.asarray(e16)))
+    vs3, vi3 = mips_topk_pallas2_f16_t(
+        jnp.asarray(q), jnp.asarray(bits_t), k, valid_n=n, pool_n=n,
+        tile_q=8, tile_n=128, t_per_tile=8, interpret=True, refine=4,
+        emb_rows=jnp.asarray(bits_rows))
+    np.testing.assert_array_equal(np.asarray(vi3), vi)
+    np.testing.assert_allclose(np.asarray(vs3), vs, rtol=0, atol=0)
+
 
 def test_flat_index_f16_refine_through_shards(mesh_flat):
     """fp16 index with the production pallas/refine dispatch forced (the
@@ -345,3 +357,80 @@ def test_flat_index_f16_refine_through_shards(mesh_flat):
     oi = np.argsort(-oracle, axis=1)[:, :k]
     for row in range(5):
         assert set(i[row]) == set(oi[row]), (i[row], oi[row])
+
+    # refine_gather="rows": same search through the sharded path via the
+    # row-major gather copy, and the lazy copy follows embeddings swaps
+    idx_r = ShardedFlatIndex(mesh_flat, n, d, dtype=jnp.float16,
+                             method="pallas2", refine_gather="rows")
+    idx_r.set_embeddings(0, np.roll(e, 1, axis=0))  # wrong data first
+    idx_r.search(jnp.asarray(q), k)  # builds a rows copy of the wrong data
+    idx_r.set_embeddings(0, e)  # swap => identity key invalidates the copy
+    s2, i2 = idx_r.search(jnp.asarray(q), k)
+    np.testing.assert_array_equal(np.asarray(i2), i)
+    np.testing.assert_allclose(np.asarray(s2), s, rtol=0, atol=0)
+
+
+def test_pallas2_int8_transposed_exact_and_hybrid():
+    """Transposed int8 kernel: (1) refine=0 reproduces the numpy int8
+    dequant scoring exactly; (2) hybrid mode (int8 coarse + f32-on-fp16
+    rescore from the rows copy) with a full-width candidate pool equals
+    the fp16 oracle exactly — int8 quantization only steers candidate
+    SELECTION, never the returned scores."""
+    from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits, quantize_int8,
+                                              mips_topk_pallas2_int8_t)
+    rng = np.random.default_rng(41)
+    b, n, n_alloc, d, k = 4, 600, 768, 64, 20
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    v, scale = (np.asarray(a) for a in quantize_int8(jnp.asarray(e)))
+    emb_t = np.zeros((d, n_alloc), np.int8)
+    emb_t[:, :n] = v.T
+    emb_t[:, n:] = 127  # garbage pad cols: must be masked by valid_n
+    scales_row = np.full((1, n_alloc), 99.0, np.float32)
+    scales_row[0, :n] = scale[:, 0]
+
+    # (1) exact int8 mode vs numpy dequant oracle
+    vs, vi = mips_topk_pallas2_int8_t(
+        jnp.asarray(q), jnp.asarray(emb_t), jnp.asarray(scales_row), k,
+        valid_n=n, pool_n=n, tile_q=8, tile_n=128, t_per_tile=8,
+        interpret=True)
+    vs, vi = np.asarray(vs), np.asarray(vi)
+    assert vi.max() < n and vi.min() >= 0
+    qv, qs = (np.asarray(a) for a in quantize_int8(jnp.asarray(q)))
+    s8 = (qv.astype(np.int32) @ v.T.astype(np.int32)).astype(np.float32) \
+        * qs * scale[:, 0][None, :]
+    oi = np.argsort(-s8, axis=1)[:, :k]
+    ov = np.take_along_axis(s8, oi, axis=1)
+    np.testing.assert_allclose(vs, ov, rtol=1e-6, atol=1e-6)
+    for row in range(b):
+        assert set(vi[row]) == set(oi[row])
+
+    # (2) hybrid: refine wide enough to cover every row -> exactly the
+    # fp16 oracle (scores f32-exact on the fp16 values, recall 1.0)
+    e16 = e.astype(np.float16)
+    rows_bits = np.asarray(f16_to_bits(jnp.asarray(e16)))
+    vs2, vi2 = mips_topk_pallas2_int8_t(
+        jnp.asarray(q), jnp.asarray(emb_t), jnp.asarray(scales_row), k,
+        valid_n=n, pool_n=n, tile_q=8, tile_n=128, t_per_tile=8,
+        interpret=True, refine=30, emb_rows=jnp.asarray(rows_bits))
+    vs2, vi2 = np.asarray(vs2), np.asarray(vi2)
+    sf = q @ e16.astype(np.float32).T
+    ofi = np.argsort(-sf, axis=1)[:, :k]
+    ofv = np.take_along_axis(sf, ofi, axis=1)
+    np.testing.assert_allclose(vs2, ofv, rtol=1e-5, atol=1e-5)
+    recall = np.mean([len(set(vi2[i]) & set(ofi[i])) / k for i in range(b)])
+    assert recall == 1.0
+
+    # (3) production-width refine (r=4): selection driven by the int8
+    # coarse scan; returned scores still exactly f32-on-fp16 for the ids
+    # it picks, and recall stays high
+    vs3, vi3 = mips_topk_pallas2_int8_t(
+        jnp.asarray(q), jnp.asarray(emb_t), jnp.asarray(scales_row), k,
+        valid_n=n, pool_n=n, tile_q=8, tile_n=128, t_per_tile=8,
+        interpret=True, refine=4, emb_rows=jnp.asarray(rows_bits))
+    vs3, vi3 = np.asarray(vs3), np.asarray(vi3)
+    np.testing.assert_allclose(
+        vs3, np.take_along_axis(sf, vi3, axis=1), rtol=1e-5, atol=1e-5)
+    recall = np.mean([len(set(vi3[i]) & set(ofi[i])) / k for i in range(b)])
+    assert recall >= 0.95
