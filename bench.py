@@ -38,7 +38,9 @@ def main():
     from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits,
                                               mips_topk_pallas2,
                                               mips_topk_pallas2_f16_t,
-                                              mips_topk_pallas2_t)
+                                              mips_topk_pallas2_int8_t,
+                                              mips_topk_pallas2_t,
+                                              quantize_int8)
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
     import os
@@ -78,9 +80,29 @@ def main():
         n_pad = -(-n // 2048) * 2048
         return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
 
+    pin_env = os.environ.get("BENCH_METHOD", "pallas2f16t")
+
+    @jax.jit
+    def make_index_hybrid(key):
+        # hybrid storage exactly as ShardedFlatIndex derives it: fp16-bits
+        # rows primary; transposed int8 + per-column scales from the
+        # DECODED fp16 values (not the f32 originals)
+        e = jax.random.normal(key, (n, d), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        bits_rows = f16_to_bits(e.astype(jnp.float16))
+        x = jax.lax.bitcast_convert_type(
+            bits_rows, jnp.float16).astype(jnp.float32)
+        v, s = quantize_int8(x)
+        n_pad = -(-n // 2048) * 2048
+        return (jnp.pad(v.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),
+                bits_rows)
+
     e = make_index(jax.random.PRNGKey(0))
     et = make_index_t(jax.random.PRNGKey(0))
     ebt = make_index_f16_t(jax.random.PRNGKey(0)) if on_tpu else None
+    hyb = (make_index_hybrid(jax.random.PRNGKey(0))
+           if on_tpu and pin_env == "hybrid" else None)
     jax.block_until_ready(e)
     jax.block_until_ready(et)
     rng = np.random.default_rng(0)
@@ -101,6 +123,10 @@ def main():
                                                k, tile_q=tq),
         "approx": lambda q: mips_topk_approx(q.astype(jnp.float32), e, k),
         "pallas": lambda q: mips_topk_pallas(q.astype(jnp.bfloat16), e, k),
+        # --index_dtype hybrid: int8 coarse scan + f32-on-fp16 refine
+        "hybrid": lambda q: mips_topk_pallas2_int8_t(
+            q, hyb[0], hyb[1], k, tile_q=tq, valid_n=n, pool_n=n,
+            refine=4, emb_rows=hyb[2]),
     }
     if not on_tpu:
         # CPU (smoke/fallback): only the approx path is sensible; this
@@ -109,9 +135,8 @@ def main():
     else:
         # headline = the production default path (fp16-bits transposed
         # storage, ShardedFlatIndex default); pin another via BENCH_METHOD
-        pin = os.environ.get("BENCH_METHOD", "pallas2f16t")
-        if pin:
-            methods = {pin: methods[pin]}
+        if pin_env:
+            methods = {pin_env: methods[pin_env]}
 
     def chain(search, m):
         carry = jnp.zeros((b, 1), jnp.float32)
