@@ -64,3 +64,29 @@ def test_train_then_evaluate_cli(workdir):
     with open(pred) as f:
         preds = [json.loads(line) for line in f]
     assert len(preds) == 6
+
+
+def test_train_cli_hybrid_index(workdir):
+    """--index_dtype hybrid through the real CLI: build, two rag-mode
+    steps, one in-loop refresh — covers config dispatch, the derived
+    int8 coarse copy, and its invalidation after the rebuild."""
+    d = workdir
+    r = _run(["train.py", "--name", "clihybrid",
+              "--gold_score_mode", "rag", "--gen_method", "fast_deocde1",
+              "--train_data", str(d / "data" / "train.jsonl"),
+              "--eval_data", str(d / "data" / "dev.jsonl"),
+              "--total_steps", "2", "--log_freq", "1",
+              "--eval_freq", "99", "--save_freq", "99",
+              "--refresh_index", "2", "--warmup_steps", "1",
+              "--index_dtype", "hybrid",
+              "--task", "qa", "--passages",
+              str(d / "data" / "passages.jsonl"),
+              "--checkpoint_dir", str(d / "ckpt"), "--model_size", "tiny",
+              "--precision", "fp32", "--use_lora", "false",
+              "--n_context", "2", "--text_maxlength", "96",
+              "--target_maxlength", "8", "--generation_max_length", "4",
+              "--per_gpu_batch_size", "4"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(d / "ckpt" / "clihybrid" / "metrics.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and "loss/train_loss" in rows[-1]
