@@ -56,7 +56,7 @@ def main(argv=None):
     from jsa_rag_tpu.ops.mips_pallas2 import (
         f16_to_bits, mips_topk_pallas2, mips_topk_pallas2_f16,
         mips_topk_pallas2_f16_t, mips_topk_pallas2_int8,
-        mips_topk_pallas2_t, quantize_int8,
+        mips_topk_pallas2_int8_t, mips_topk_pallas2_t, quantize_int8,
     )
 
     n, d, b, k = args.n, args.d, args.b, args.k
@@ -106,6 +106,17 @@ def main(argv=None):
         bt = f16_to_bits(e.astype(jnp.float16)).T
         return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
 
+    def enc_hybrid(e):
+        # exactly as ShardedFlatIndex derives it: int8 quantized from the
+        # DECODED fp16 values, plus the fp16-bits rows for the rescore
+        bits_rows = f16_to_bits(e.astype(jnp.float16))
+        x = jax.lax.bitcast_convert_type(
+            bits_rows, jnp.float16).astype(jnp.float32)
+        v, s = quantize_int8(x)
+        return (jnp.pad(v.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),
+                bits_rows)
+
     def make_flat_index(e, dtype):
         """Production path: ShardedFlatIndex.search (shard_map + fused
         kernel + cross-shard merge) — the judge-visible API surface."""
@@ -138,6 +149,14 @@ def main(argv=None):
         "int8": (jax.jit(quantize_int8),
                  lambda q, s: mips_topk_pallas2_int8(q, s[0], s[1], k,
                                                      tile_q=tq)),
+        # hybrid: transposed int8 coarse scan + f32-on-fp16 rescore from
+        # the fp16 rows copy (the --index_dtype hybrid storage)
+        "hybrid": (jax.jit(enc_hybrid),
+                   lambda q, s: mips_topk_pallas2_int8_t(
+                       q, s[0], s[1], k, tile_q=tq, valid_n=n, pool_n=n,
+                       refine=4, emb_rows=s[2])),
+        "flat_hybrid_index": (lambda e: make_flat_index(e, "hybrid"),
+                              lambda q, s: s.search(q, k)),
         # end-to-end through the index layer (the production API)
         "flat_f16_index": (lambda e: make_flat_index(e, jnp.float16),
                            lambda q, s: s.search(q, k)),
@@ -180,8 +199,9 @@ def main(argv=None):
         dt = time.time() - t0 - 0.026
         qps = args.iters * b / max(dt, 1e-9)
         bytes_per_el = {"bf16_t": 2, "f16_t": 2, "f16_row": 2,
-                        "bf16_row": 2, "int8": 1, "f16_refine": 2, "flat_f16_index": 2,
-                        "flat_bf16_index": 2}[mode]
+                        "bf16_row": 2, "int8": 1, "f16_refine": 2,
+                        "flat_f16_index": 2, "flat_bf16_index": 2,
+                        "hybrid": 3, "flat_hybrid_index": 3}[mode]
         row = {"mode": mode, "recall@20": round(r20, 4),
                "recall@100": round(r100, 4), "qps": round(qps, 1),
                "hbm_gb": round(n * d * bytes_per_el / 2**30, 2),
