@@ -138,6 +138,10 @@ class Options:
     faiss_code_size: int = 32
     ivf_n_lists: int = 0  # 0 -> auto: min(sqrt(N)/100-ish heuristic, 2048)
     ivf_n_probe: int = 0
+    # exact fp16 reranking of the quantized-IVF candidate pool (the FAISS
+    # IndexRefineFlat capability): sq8/pq probe speed, storage-quantization
+    # ranking errors removed, +2 bytes/element HBM
+    ivf_refine: bool = False
     load_index_path: str | None = None
     save_index_path: str | None = None
     save_index_n_shards: int = 16

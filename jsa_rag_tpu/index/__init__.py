@@ -36,7 +36,8 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
         return ShardedIVFIndex(mesh, n_passages, dim, dtype=dtype,
                                n_lists=n_lists, n_probe=n_probe,
                                storage=storage,
-                               code_size=opt.faiss_code_size)
+                               code_size=opt.faiss_code_size,
+                               refine=opt.ivf_refine)
     return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
                             refine_gather=opt.refine_gather)
 

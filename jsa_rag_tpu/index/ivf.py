@@ -89,7 +89,7 @@ class ShardedIVFIndex:
     def __init__(self, mesh: Mesh, n_passages: int, dim: int,
                  dtype=jnp.bfloat16, n_lists: int | None = None,
                  n_probe: int | None = None, storage: str = "dense",
-                 code_size: int = 32):
+                 code_size: int = 32, refine: bool = False):
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
@@ -117,6 +117,17 @@ class ShardedIVFIndex:
         self.n_lists = ((c + self.n_shards - 1) // self.n_shards
                         ) * self.n_shards
         self.n_probe = n_probe or max(self.n_lists // 16, 1)
+        # exact reranking for the quantized storages (the FAISS
+        # IndexRefineFlat capability — the reference has no equivalent):
+        # keep an fp16-bits copy of every row in cluster layout and, after
+        # the quantized probe scan, rescore each shard's top-(r*k)
+        # candidates at f32-on-fp16 before the cross-shard merge. Probe
+        # speed of IVF, storage-precision errors of sq8/pq removed; costs
+        # 2 bytes/element extra HBM. Dense storage is already full
+        # precision — refine is a no-op there and stays off.
+        self.refine = bool(refine) and storage in ("sq8", "pq")
+        self.refine_r = 4
+        self.clusters_f16 = None  # (C, cap, d) int16 raw half bits
         self.cap = 0  # set by train()
         self.centroids = None  # (C, d) f32 replicated
         self.clusters = None   # (C, cap, d|code_size) sharded on axis 0
@@ -169,12 +180,17 @@ class ShardedIVFIndex:
         if self.storage == "sq8":
             scales = jax.device_put(
                 jnp.zeros((self.n_lists, self.cap), jnp.float32), ids_spec)
+        cl16 = None
+        if self.refine:
+            cl16 = jax.device_put(
+                jnp.zeros((self.n_lists, self.cap, self.dim), jnp.int16),
+                shard_spec)
         cb = self.codebooks
         rot = self.pq_rotation
         cent_dev = jnp.asarray(centroids)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def scatter(clusters, ids, scales, e_chunk, cid, p, gid):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def scatter(clusters, ids, scales, cl16, e_chunk, cid, p, gid):
             if self.storage == "dense":
                 clusters = clusters.at[cid, p].set(e_chunk.astype(self.dtype))
             elif self.storage == "sq8":
@@ -185,21 +201,27 @@ class ShardedIVFIndex:
             else:  # pq: rotated residuals against the coarse centroid
                 r = (e_chunk.astype(jnp.float32) - cent_dev[cid]) @ rot.T
                 clusters = clusters.at[cid, p].set(_pq_encode(r, cb))
+            if cl16 is not None:
+                from ..ops.mips_pallas2 import f16_to_bits
+
+                cl16 = cl16.at[cid, p].set(f16_to_bits(e_chunk))
+                cl16 = jax.lax.with_sharding_constraint(cl16, shard_spec)
             ids = ids.at[cid, p].set(gid)
             clusters = jax.lax.with_sharding_constraint(clusters, shard_spec)
             ids = jax.lax.with_sharding_constraint(ids, ids_spec)
-            return clusters, ids, scales
+            return clusters, ids, scales, cl16
 
         step = 262144
         for s in range(0, n, step):
             t = min(s + step, n)
-            clusters, ids, scales = scatter(
-                clusters, ids, scales, emb[s:t],
+            clusters, ids, scales, cl16 = scatter(
+                clusters, ids, scales, cl16, emb[s:t],
                 jnp.asarray(assign[s:t]), jnp.asarray(pos[s:t]),
                 jnp.arange(s, t, dtype=jnp.int32))
         self.centroids = jax.device_put(
             centroids, NamedSharding(self.mesh, P()))
         self.clusters, self.ids, self.scales = clusters, ids, scales
+        self.clusters_f16 = cl16
         self._search_fn = None
 
     def _train_codebooks(self, emb, assign, centroids, key, iters) -> None:
@@ -263,12 +285,13 @@ class ShardedIVFIndex:
     @classmethod
     def from_flat(cls, flat, n_lists: int | None = None,
                   n_probe: int | None = None, storage: str = "dense",
-                  code_size: int = 32, **kw) -> "ShardedIVFIndex":
+                  code_size: int = 32, refine: bool = False,
+                  **kw) -> "ShardedIVFIndex":
         dtype = (jnp.bfloat16 if flat.dtype in (jnp.int16, jnp.int8)
                  else flat.dtype)
         idx = cls(flat.mesh, flat.n_passages, flat.dim, dtype=dtype,
                   n_lists=n_lists, n_probe=n_probe, storage=storage,
-                  code_size=code_size)
+                  code_size=code_size, refine=refine)
         idx.train(flat.embeddings_as_float(), **kw)
         return idx
 
@@ -298,10 +321,12 @@ class ShardedIVFIndex:
             extra = (self.scales,)
         elif self.storage == "pq":
             extra = (self.codebooks, self.pq_rotation)
+        if self.refine:
+            extra += (self.clusters_f16,)
         return fn(q, self.centroids, self.clusters, self.ids, *extra)
 
     def _get_search_fn(self, k: int, n_probe: int):
-        key = (k, n_probe)
+        key = (k, n_probe, self.refine, self.refine_r)
         if self._search_fn is not None and self._search_fn[0] == key:
             return self._search_fn[1]
 
@@ -309,6 +334,8 @@ class ShardedIVFIndex:
         cap = self.cap
         axes = AXES.all
         storage = self.storage
+        refine = self.refine
+        refine_r = self.refine_r
 
         def body(q, centroids, clusters_local, ids_local, *extra):
             b = q.shape[0]
@@ -330,10 +357,14 @@ class ShardedIVFIndex:
             sel_valid = (sel >= 0) & (local >= 0) & (local < c_local)
             local = jnp.clip(local, 0, c_local - 1)
 
-            k_local = min(k, cap * n_sel)
+            # with refine, each shard keeps a WIDER candidate pool for the
+            # exact rescore: quantization mis-rankings inside the probed
+            # lists are recovered as long as the true top-k sits within the
+            # quantized top-(r*k)
+            k_local = min(refine_r * k if refine else k, cap * n_sel)
 
             def scan_step(carry, inp):
-                cs, ci = carry
+                cs, ci, cp = carry
                 cid, gcid, ok = inp
                 gids = ids_local[cid]               # (cap,)
                 if storage == "dense":
@@ -360,13 +391,30 @@ class ShardedIVFIndex:
                 all_s = jnp.concatenate([cs, s], axis=1)
                 all_i = jnp.concatenate(
                     [ci, jnp.broadcast_to(gids[None, :], (b, cap))], axis=1)
+                # flat local slot of each candidate (for the refine gather)
+                slots = cid * cap + jnp.arange(cap, dtype=jnp.int32)
+                all_p = jnp.concatenate(
+                    [cp, jnp.broadcast_to(slots[None, :], (b, cap))], axis=1)
                 v, a = jax.lax.top_k(all_s, k_local)
-                return (v, jnp.take_along_axis(all_i, a, axis=1)), None
+                return (v, jnp.take_along_axis(all_i, a, axis=1),
+                        jnp.take_along_axis(all_p, a, axis=1)), None
 
             init = (jnp.full((b, k_local), NEG_INF, jnp.float32),
-                    jnp.full((b, k_local), -1, jnp.int32))
-            (scores, gidx), _ = jax.lax.scan(scan_step, init,
-                                             (local, sel, sel_valid))
+                    jnp.full((b, k_local), -1, jnp.int32),
+                    jnp.zeros((b, k_local), jnp.int32))
+            (scores, gidx, slots), _ = jax.lax.scan(scan_step, init,
+                                                    (local, sel, sel_valid))
+            if refine:
+                # exact rescore of this shard's candidate pool from the
+                # fp16 cluster copy (extra[-1], local (C_local, cap, d)):
+                # contiguous per-candidate row reads, f32 HIGHEST contract
+                flat16 = extra[-1].reshape(c_local * cap, -1)
+                rows = jnp.take(flat16, slots, axis=0)     # (B, kl, d)
+                x = jax.lax.bitcast_convert_type(
+                    rows, jnp.float16).astype(jnp.float32)
+                s_r = jnp.einsum("bd,bkd->bk", q, x,
+                                 precision=jax.lax.Precision.HIGHEST)
+                scores = jnp.where(gidx >= 0, s_r, NEG_INF)
             all_s = jax.lax.all_gather(scores, axes, axis=1, tiled=True)
             all_i = jax.lax.all_gather(gidx, axes, axis=1, tiled=True)
             v, a = jax.lax.top_k(all_s, k)
@@ -377,6 +425,8 @@ class ShardedIVFIndex:
             extra_specs = (P(AXES.all, None),)   # scales sharded with rows
         elif storage == "pq":
             extra_specs = (P(), P())             # codebooks + rotation repl.
+        if refine:
+            extra_specs += (P(AXES.all, None, None),)  # fp16 cluster copy
         mapped = shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), P(), P(AXES.all, None, None), P(AXES.all, None))
@@ -397,6 +447,8 @@ class ShardedIVFIndex:
         ids = fetch_global(self.ids, self.mesh)
         scales = (fetch_global(self.scales, self.mesh)
                   if self.storage == "sq8" else None)
+        cl16 = (fetch_global(self.clusters_f16, self.mesh)
+                if self.refine else None)
         if self.storage == "pq":
             codebooks = fetch_global(self.codebooks, self.mesh)
             rotation = fetch_global(self.pq_rotation, self.mesh)
@@ -409,6 +461,9 @@ class ShardedIVFIndex:
                 np.array_split(ids, n_files))):
             np_save(os.path.join(path, f"clusters.{i}.npy"), cb)
             np_save(os.path.join(path, f"ids.{i}.npy"), ib)
+        if cl16 is not None:
+            for i, rb in enumerate(np.array_split(cl16, n_files)):
+                np_save(os.path.join(path, f"clusters_f16.{i}.npy"), rb)
         if self.storage == "sq8":
             np_save(os.path.join(path, "scales.npy"), scales)
         elif self.storage == "pq":
@@ -418,7 +473,8 @@ class ShardedIVFIndex:
                 "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
                 "n_lists": self.n_lists, "n_probe": self.n_probe,
                 "cap": self.cap, "n_files": n_files, "kind": "ivf",
-                "storage": self.storage, "code_size": self.code_size}
+                "storage": self.storage, "code_size": self.code_size,
+                "refine": self.refine}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -430,7 +486,8 @@ class ShardedIVFIndex:
                   dtype=jnp.dtype(meta["dtype"]), n_lists=meta["n_lists"],
                   n_probe=meta["n_probe"],
                   storage=meta.get("storage", "dense"),
-                  code_size=meta.get("code_size", 32))
+                  code_size=meta.get("code_size", 32),
+                  refine=meta.get("refine", False))
         idx.cap = meta["cap"]
         # dense bf16 clusters are saved as uint16 bit views (np_save); pass
         # the target dtype so np_load re-VIEWS the bits — a value cast would
@@ -463,4 +520,11 @@ class ShardedIVFIndex:
             idx.pq_rotation = jax.device_put(
                 jnp.asarray(np_load(os.path.join(path, "pq_rotation.npy"))),
                 NamedSharding(mesh, P()))
+        if idx.refine:
+            cl16 = np.concatenate(
+                [np_load(os.path.join(path, f"clusters_f16.{i}.npy"))
+                 for i in range(meta["n_files"])])
+            idx.clusters_f16 = jax.device_put(
+                jnp.asarray(cl16, jnp.int16),
+                NamedSharding(mesh, P(AXES.all, None, None)))
         return idx
