@@ -106,6 +106,26 @@ def main(argv=None):
                          "n_probe": n_probe, "n_lists": n_lists,
                          f"recall@{args.k}": round(rec, 4)})
             print(json.dumps(rows[-1]), flush=True)
+        if storage in ("sq8", "pq"):
+            # in-index exact reranking (--ivf_refine; the FAISS
+            # IndexRefineFlat capability): fp16 copy rescored on-device
+            # inside the sharded search program
+            ivf_r = ShardedIVFIndex.from_flat(
+                flat, n_lists=n_lists, storage=storage,
+                code_size=args.code_size, iters=8, refine=True)
+            for n_probe in (4, 16, 64, min(256, n_lists)):
+                _, vi = ivf_r.search(jnp.asarray(q), args.k,
+                                     n_probe=n_probe)
+                vi = np.asarray(vi)
+                rec = float(np.mean([
+                    len(set(row) & g) / args.k
+                    for row, g in zip(vi, gold)]))
+                rows.append({"storage": f"{storage}+refine",
+                             "bytes_per_vec": bpv + 2 * args.d,
+                             "n_probe": n_probe, "n_lists": n_lists,
+                             f"recall@{args.k}": round(rec, 4)})
+                print(json.dumps(rows[-1]), flush=True)
+            del ivf_r
         if storage == "pq" and args.rerank_factor > 1:
             # quality-recovery path: PQ generates rerank_factor*k candidates,
             # exact scores re-rank them (= the framework's
