@@ -321,15 +321,29 @@ class ShardedFlatIndex:
                 or self._hybrid_cache[0] is not self.embeddings):
             from ..ops.mips_pallas2 import quantize_int8
 
-            col_sh = NamedSharding(self.mesh, P(None, AXES.all))
+            rows = self.shard_rows
+            # chunk the decode: a monolithic bitcast->f32 of a single-chip
+            # 1.3M x 1024 shard materializes a 5.3 GB intermediate; row
+            # chunks bound the peak at ~chunk*d*4 bytes
+            chunk = 16384
+            while rows % chunk:
+                chunk //= 2
 
-            @functools.partial(jax.jit, out_shardings=(col_sh, col_sh))
-            def derive(bits_rows):
-                x = jax.lax.bitcast_convert_type(
-                    bits_rows, jnp.float16).astype(jnp.float32)
-                v, s = quantize_int8(x)
-                return v.T, s.reshape(1, -1)
+            def _derive_local(bits):  # (shard_rows, d) int16, per device
+                def enc(block):
+                    x = jax.lax.bitcast_convert_type(
+                        block, jnp.float16).astype(jnp.float32)
+                    v, s = quantize_int8(x)
+                    return v, s[:, 0]
+                v, s = jax.lax.map(
+                    enc, bits.reshape(rows // chunk, chunk, -1))
+                return v.reshape(rows, -1).T, s.reshape(1, rows)
 
+            derive = jax.jit(shard_map(
+                _derive_local, mesh=self.mesh,
+                in_specs=P(AXES.all, None),
+                out_specs=(P(None, AXES.all), P(None, AXES.all)),
+                check_vma=False))
             self._hybrid_cache = (self.embeddings, derive(self.embeddings))
         return self._hybrid_cache[1]
 
