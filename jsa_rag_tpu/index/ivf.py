@@ -149,6 +149,13 @@ class ShardedIVFIndex:
         emb = emb[:n]
         centroids, assign = kmeans(emb, key, self.n_lists, iters=iters,
                                    chunk=min(chunk, max(n, 8)))
+        # the layout plan below is host-side; multi-process builds hand us
+        # assignments sharded across non-addressable devices — gather them
+        # (every process computes the identical plan from the full vector)
+        if not getattr(assign, "is_fully_addressable", True):
+            from jax.experimental import multihost_utils
+
+            assign = multihost_utils.process_allgather(assign, tiled=True)
         assign = np.asarray(assign)
         counts = np.bincount(assign, minlength=self.n_lists)
         # capacity: max cluster size, padded to a lane-friendly multiple

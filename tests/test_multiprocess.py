@@ -88,6 +88,28 @@ assert ids.shape == (b_local, 5), ids.shape
 oracle = np.argmax(q @ e.T, axis=1)
 assert (ids[:, 0] == oracle).all(), (ids[:, 0], oracle)
 
+# 5b. hybrid storage (int8 coarse + fp16 rescore, derived copies) through
+# the same cross-process collective search program
+idxh = ShardedFlatIndex(mesh, n, d, dtype="hybrid", method="pallas2")
+idxh.refine_r = 8
+idxh.set_embeddings(0, e)
+_, ih = idxh.search(jnp.asarray(q), 5)
+ih = np.asarray(ih)
+assert ih.shape == (b_local, 5), ih.shape
+f16_oracle = np.argmax(
+    q @ e.astype(np.float16).astype(np.float32).T, axis=1)
+assert (ih[:, 0] == f16_oracle).all(), (ih[:, 0], f16_oracle)
+
+# 5c. IVF refine (widened pool + fp16 rerank before the cross-shard
+# merge) across processes
+from jsa_rag_tpu.index.ivf import ShardedIVFIndex
+ivf = ShardedIVFIndex.from_flat(idx, n_lists=16, n_probe=16,
+                                storage="sq8", refine=True, iters=5)
+_, iv = ivf.search(jnp.asarray(q), 5, n_probe=16)
+iv = np.asarray(iv)
+assert iv.shape == (b_local, 5), iv.shape
+assert (iv[:, 0] == f16_oracle).all(), (iv[:, 0], f16_oracle)
+
 # 6. multi-host checkpoint: a leaf sharded ACROSS processes must be
 # fetched collectively (bare device_get raises on non-addressable
 # shards) and written by process 0 only
