@@ -119,21 +119,25 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
         # top-k hits there.
         n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)
         max_pads = min(shard_rows, n_padded - n_true)
-        scores, local_idx = mips.mips_topk_t(
-            q, emb_shard, min(shard_rows, k), method=method,
-            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
-            emb_rows=aux_shard)
+        if emb_shard.dtype == jnp.int8:
+            # transposed int8: per-column scales in aux_shard; the _t
+            # kernel masks pads via the runtime valid count like the
+            # dense/fp16 paths (no k widening needed)
+            from ..ops.mips_pallas2 import mips_topk_pallas2_int8_t
+
+            scores, local_idx = mips_topk_pallas2_int8_t(
+                q, emb_shard, aux_shard, min(shard_rows, k),
+                valid_n=n_valid, pool_n=max(1, shard_rows - max_pads))
+        else:
+            scores, local_idx = mips.mips_topk_t(
+                q, emb_shard, min(shard_rows, k), method=method,
+                valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
+                emb_rows=aux_shard)
     else:
         max_pads = min(shard_rows, n_padded - n_true)
         k_local = min(shard_rows, k + max_pads)
-        if aux_shard is not None:
-            from ..ops.mips_pallas2 import mips_topk_pallas2_int8
-
-            scores, local_idx = mips_topk_pallas2_int8(q, emb_shard,
-                                                       aux_shard, k_local)
-        else:
-            scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
-                                               method=method)
+        scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
+                                           method=method)
     # flat position of this device's shard among all index shards
     gidx = local_idx + shard_pos * shard_rows
     scores = jnp.where((gidx >= 0) & (gidx < n_true), scores, NEG_INF)
@@ -198,13 +202,13 @@ class ShardedFlatIndex:
         self.store_f16_bits = jnp.dtype(dtype) in (jnp.float16, jnp.int16)
         self.store_int8 = jnp.dtype(dtype) == jnp.int8
         self.dtype = jnp.int16 if self.store_f16_bits else dtype
-        # dense AND fp16-bits storage are contraction-major (d, N) — the
-        # fused kernels consume them MXU-direct (fp16 decodes its raw bits
-        # in-kernel, mips_pallas2_f16_t); int8 stays row-major for its
-        # per-row scale layout
-        # hybrid's PRIMARY buffer is the row-major fp16-bits rescore store
-        # (its transposed int8 coarse copy is derived lazily)
-        self.transposed = not self.store_int8 and not self.store_hybrid
+        # dense, fp16-bits AND int8 storage are contraction-major (d, N) —
+        # the fused kernels consume them MXU-direct (fp16 decodes its raw
+        # bits in-kernel, mips_pallas2_f16_t; int8 carries per-COLUMN
+        # dequant scales, mips_topk_pallas2_int8_t). hybrid's PRIMARY
+        # buffer is the row-major fp16-bits rescore store (its transposed
+        # int8 coarse copy is derived lazily)
+        self.transposed = not self.store_hybrid
         self.method = method
         self.n_passages = n_passages
         self.n_shards = mesh.devices.size
@@ -231,10 +235,11 @@ class ShardedFlatIndex:
             jnp.zeros(shape, dtype=self.dtype), self.sharding
         )
         self.scales = None
-        self.scale_sharding = NamedSharding(mesh, P(AXES.all, None))
+        # int8 scales live with the transposed storage: one f32 per COLUMN
+        self.scale_sharding = NamedSharding(mesh, P(None, AXES.all))
         if self.store_int8:
             self.scales = jax.device_put(
-                jnp.zeros((self.n_padded, 1), jnp.float32),
+                jnp.zeros((1, self.n_padded), jnp.float32),
                 self.scale_sharding)
         self._search_fn = None
 
@@ -257,7 +262,9 @@ class ShardedFlatIndex:
         double-buffered incremental refresh."""
         block, scale = self.encode_block(block_rows)
         if scale is not None:
-            buf_scale = _update_rows(buf_scale, scale, start,
+            # (rows, 1) per-row scales -> one f32 per column of the
+            # transposed store
+            buf_scale = _update_cols(buf_scale, scale, start,
                                      self.scale_sharding)
         if self.transposed:
             buf_emb = _update_cols(buf_emb, block, start, self.sharding)
@@ -388,7 +395,7 @@ class ShardedFlatIndex:
                 in_specs = (P(), P(AXES.all, None), P(None, AXES.all),
                             P(None, AXES.all))
             elif self.store_int8:
-                in_specs = (P(), P(AXES.all, None), P(AXES.all, None))
+                in_specs = (P(), P(None, AXES.all), P(None, AXES.all))
             elif self.transposed:
                 in_specs = (P(), P(None, AXES.all))
                 if with_rows:
@@ -430,7 +437,8 @@ class ShardedFlatIndex:
         for i, r in enumerate(rows):
             np_save(os.path.join(path, f"embeddings.{i}.npy"), r)
         if self.store_int8:
-            scales = scales[: self.n_passages]
+            # disk format stays (N, 1) row-major like the embeddings
+            scales = np.ascontiguousarray(scales.T[: self.n_passages])
             for i, r in enumerate(np.array_split(scales, n_files, axis=0)):
                 np_save(os.path.join(path, f"scales.{i}.npy"), r)
         meta = {
@@ -473,9 +481,9 @@ class ShardedFlatIndex:
                 scale = np_load(os.path.join(path, f"scales.{i}.npy"))
                 if idx.scales is None:
                     idx.scales = jax.device_put(
-                        jnp.zeros((idx.n_padded, 1), jnp.float32),
+                        jnp.zeros((1, idx.n_padded), jnp.float32),
                         idx.scale_sharding)
-                idx.scales = _update_rows(idx.scales, jnp.asarray(scale),
+                idx.scales = _update_cols(idx.scales, jnp.asarray(scale),
                                           start, idx.scale_sharding)
             start += block.shape[0]
         assert start == meta["n_passages"]
@@ -490,6 +498,9 @@ class ShardedFlatIndex:
             e = self.embeddings[:, : self.n_passages]
             if self.store_f16_bits or e.dtype == jnp.int16:
                 e = jax.lax.bitcast_convert_type(e, jnp.float16)
+            if self.store_int8:
+                return (e.T.astype(jnp.float32)
+                        * self.scales[:, : self.n_passages].T)
             return e.T.astype(jnp.float32)
         e = self.embeddings[: self.n_passages]
         if self.store_f16_bits or e.dtype == jnp.int16:

@@ -58,7 +58,7 @@ class IncrementalIndexRefresher:
             jnp.zeros_like(idx.embeddings), idx.sharding)
         if idx.store_int8:
             self._staging_scales = jax.device_put(
-                jnp.zeros_like(idx.scales), idx.sharding)
+                jnp.zeros_like(idx.scales), idx.scale_sharding)
         self._cursor = 0
         if self._encode is None:
             # reuse the model's cached build-encode jit (one compilation

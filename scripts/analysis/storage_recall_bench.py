@@ -106,6 +106,11 @@ def main(argv=None):
         bt = f16_to_bits(e.astype(jnp.float16)).T
         return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
 
+    def enc_int8_t(e):
+        v, s = quantize_int8(e)
+        return (jnp.pad(v.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))))
+
     def enc_hybrid(e):
         # exactly as ShardedFlatIndex derives it: int8 quantized from the
         # DECODED fp16 values, plus the fp16-bits rows for the rescore
@@ -149,6 +154,13 @@ def main(argv=None):
         "int8": (jax.jit(quantize_int8),
                  lambda q, s: mips_topk_pallas2_int8(q, s[0], s[1], k,
                                                      tile_q=tq)),
+        # transposed int8 (the production int8 layout since round 3):
+        # contraction-major + per-column scales
+        "int8_t": (jax.jit(enc_int8_t),
+                   lambda q, s: mips_topk_pallas2_int8_t(
+                       q, s[0], s[1], k, tile_q=tq, valid_n=n, pool_n=n)),
+        "flat_int8_index": (lambda e: make_flat_index(e, jnp.int8),
+                            lambda q, s: s.search(q, k)),
         # hybrid: transposed int8 coarse scan + f32-on-fp16 rescore from
         # the fp16 rows copy (the --index_dtype hybrid storage)
         "hybrid": (jax.jit(enc_hybrid),
@@ -199,7 +211,8 @@ def main(argv=None):
         dt = time.time() - t0 - 0.026
         qps = args.iters * b / max(dt, 1e-9)
         bytes_per_el = {"bf16_t": 2, "f16_t": 2, "f16_row": 2,
-                        "bf16_row": 2, "int8": 1, "f16_refine": 2,
+                        "bf16_row": 2, "int8": 1, "int8_t": 1,
+                        "flat_int8_index": 1, "f16_refine": 2,
                         "flat_f16_index": 2, "flat_bf16_index": 2,
                         "hybrid": 3, "flat_hybrid_index": 3}[mode]
         row = {"mode": mode, "recall@20": round(r20, 4),
