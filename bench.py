@@ -36,11 +36,11 @@ def main():
 
     from jsa_rag_tpu.ops.mips_pallas import mips_topk_pallas
     from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits,
+                                              hybrid_int8_from_bits,
                                               mips_topk_pallas2,
                                               mips_topk_pallas2_f16_t,
                                               mips_topk_pallas2_int8_t,
-                                              mips_topk_pallas2_t,
-                                              quantize_int8)
+                                              mips_topk_pallas2_t)
     from jsa_rag_tpu.ops.mips import mips_topk_approx
 
     import os
@@ -84,15 +84,13 @@ def main():
 
     @jax.jit
     def make_index_hybrid(key):
-        # hybrid storage exactly as ShardedFlatIndex derives it: fp16-bits
-        # rows primary; transposed int8 + per-column scales from the
-        # DECODED fp16 values (not the f32 originals)
+        # hybrid storage: fp16-bits rows primary; the coarse int8 copy
+        # comes from the SHARED derivation helper so the bench cannot
+        # drift from what ShardedFlatIndex actually stores
         e = jax.random.normal(key, (n, d), jnp.float32)
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
         bits_rows = f16_to_bits(e.astype(jnp.float16))
-        x = jax.lax.bitcast_convert_type(
-            bits_rows, jnp.float16).astype(jnp.float32)
-        v, s = quantize_int8(x)
+        v, s = hybrid_int8_from_bits(bits_rows)
         n_pad = -(-n // 2048) * 2048
         return (jnp.pad(v.T, ((0, 0), (0, n_pad - n))),
                 jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),

@@ -84,17 +84,16 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
                       k, n_true, shard_rows, n_padded, method, axes,
                       transposed, hybrid=False, refine_r=4):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
-    this device's block of the global matrix — (d, shard_rows) when the
-    storage is transposed (dense), (shard_rows, d) otherwise. ``aux_shard``
-    is the int8 per-row scales (row-major storage) or the optional
-    row-major refine-gather copy (transposed fp16 storage). Hybrid storage
-    passes emb_shard = fp16-bits rows, aux_shard = derived (d, shard) int8,
-    scale_shard = derived (1, shard) dequant scales.
+    this device's (d, shard_rows) block of the transposed global matrix
+    (dense/fp16/int8 storage) or its (shard_rows, d) fp16-bits rows block
+    (hybrid). ``aux_shard`` is the int8 per-COLUMN scales (int8 storage),
+    the optional row-major refine-gather copy (fp16 storage), or the
+    derived (d, shard) int8 coarse copy (hybrid, with ``scale_shard`` its
+    (1, shard) dequant scales).
 
-    Padding rows (global id >= n_true) are zero vectors; they score 0 and can
-    displace valid negative-score candidates from a shard's local top-k, so
-    the local k is widened by the worst-case per-shard pad count before the
-    post-hoc mask — this keeps the merged global top-k exact.
+    Padding columns (global id >= n_true) are masked in-kernel by the
+    runtime valid count, so no pad can displace a valid candidate from a
+    shard's local top-k.
     """
     shard_pos = jax.lax.axis_index(axes)
     if hybrid:
@@ -109,7 +108,8 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
             q, aux_shard, scale_shard, min(shard_rows, k),
             valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
             refine=refine_r, emb_rows=emb_shard)
-    elif transposed:
+    else:
+        assert transposed, "non-hybrid storage is always transposed"
         # the kernel masks the shard's pad columns itself via the runtime
         # valid count (no zero-score pads can displace candidates, so no
         # k widening; storage is tile-aligned so no in-search pad copy).
@@ -133,11 +133,6 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
                 q, emb_shard, min(shard_rows, k), method=method,
                 valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
                 emb_rows=aux_shard)
-    else:
-        max_pads = min(shard_rows, n_padded - n_true)
-        k_local = min(shard_rows, k + max_pads)
-        scores, local_idx = mips.mips_topk(q, emb_shard, k_local,
-                                           method=method)
     # flat position of this device's shard among all index shards
     gidx = local_idx + shard_pos * shard_rows
     scores = jnp.where((gidx >= 0) & (gidx < n_true), scores, NEG_INF)
@@ -176,8 +171,13 @@ class ShardedFlatIndex:
         # keyed on the embeddings buffer identity, so every write path
         # (build scatter, double-buffered refresh swap) invalidates it
         # for free.
+        if refine_gather not in ("cols", "rows"):
+            raise ValueError(
+                f"refine_gather must be 'cols' or 'rows', got "
+                f"{refine_gather!r}")
         self.refine_gather = refine_gather
         self._rows_cache = None
+        self._rows_fn = None  # cached jit (avoid retrace per rebuild)
         # "hybrid" storage (dtype="hybrid" / config --index_dtype hybrid):
         # the PRIMARY store is row-major fp16 bits (N, d) — the >=0.99-recall
         # precision, contiguous for the refine gather and trivially
@@ -189,6 +189,7 @@ class ShardedFlatIndex:
         # fp16-alone HBM.
         self.store_hybrid = isinstance(dtype, str) and dtype == "hybrid"
         self._hybrid_cache = None
+        self._hybrid_fn = None  # cached jit (avoid retrace per rebuild)
         self.refine_r = 4
         if self.store_hybrid:
             dtype = jnp.float16
@@ -326,32 +327,35 @@ class ShardedFlatIndex:
         key as the refine rows copy)."""
         if (self._hybrid_cache is None
                 or self._hybrid_cache[0] is not self.embeddings):
-            from ..ops.mips_pallas2 import quantize_int8
+            if self._hybrid_fn is None:
+                from ..ops.mips_pallas2 import hybrid_int8_from_bits
 
-            rows = self.shard_rows
-            # chunk the decode: a monolithic bitcast->f32 of a single-chip
-            # 1.3M x 1024 shard materializes a 5.3 GB intermediate; row
-            # chunks bound the peak at ~chunk*d*4 bytes
-            chunk = 16384
-            while rows % chunk:
-                chunk //= 2
+                rows = self.shard_rows
+                # chunk the decode: a monolithic bitcast->f32 of a
+                # single-chip 1.3M x 1024 shard materializes a 5.3 GB
+                # intermediate; row chunks bound the peak at ~chunk*d*4
+                chunk = 16384
+                while rows % chunk:
+                    chunk //= 2
 
-            def _derive_local(bits):  # (shard_rows, d) int16, per device
-                def enc(block):
-                    x = jax.lax.bitcast_convert_type(
-                        block, jnp.float16).astype(jnp.float32)
-                    v, s = quantize_int8(x)
-                    return v, s[:, 0]
-                v, s = jax.lax.map(
-                    enc, bits.reshape(rows // chunk, chunk, -1))
-                return v.reshape(rows, -1).T, s.reshape(1, rows)
+                def _derive_local(bits):  # (shard_rows, d) per device
+                    v, s = jax.lax.map(
+                        hybrid_int8_from_bits,
+                        bits.reshape(rows // chunk, chunk, -1))
+                    return v.reshape(rows, -1).T, s.reshape(1, rows)
 
-            derive = jax.jit(shard_map(
-                _derive_local, mesh=self.mesh,
-                in_specs=P(AXES.all, None),
-                out_specs=(P(None, AXES.all), P(None, AXES.all)),
-                check_vma=False))
-            self._hybrid_cache = (self.embeddings, derive(self.embeddings))
+                self._hybrid_fn = jax.jit(shard_map(
+                    _derive_local, mesh=self.mesh,
+                    in_specs=P(AXES.all, None),
+                    out_specs=(P(None, AXES.all), P(None, AXES.all)),
+                    check_vma=False))
+            # drop the stale derived copies BEFORE deriving: during an
+            # in-place refresh the swap already doubles the rows buffer;
+            # holding old rows + old int8 through the new derivation
+            # would push peak HBM past the documented 2x-sweep budget
+            self._hybrid_cache = None
+            self._hybrid_cache = (self.embeddings,
+                                  self._hybrid_fn(self.embeddings))
         return self._hybrid_cache[1]
 
     def _rows_copy(self):
@@ -360,9 +364,13 @@ class ShardedFlatIndex:
         if not (self.store_f16_bits and self.refine_gather == "rows"):
             return None
         if self._rows_cache is None or self._rows_cache[0] is not self.embeddings:
-            rows_sharding = NamedSharding(self.mesh, P(AXES.all, None))
-            t = jax.jit(jnp.transpose, out_shardings=rows_sharding)
-            self._rows_cache = (self.embeddings, t(self.embeddings))
+            if self._rows_fn is None:
+                rows_sharding = NamedSharding(self.mesh, P(AXES.all, None))
+                self._rows_fn = jax.jit(jnp.transpose,
+                                        out_shardings=rows_sharding)
+            self._rows_cache = None  # free the stale copy before deriving
+            self._rows_cache = (self.embeddings,
+                                self._rows_fn(self.embeddings))
         return self._rows_cache[1]
 
     def _search_multiprocess(self, q, k: int):
@@ -396,12 +404,10 @@ class ShardedFlatIndex:
                             P(None, AXES.all))
             elif self.store_int8:
                 in_specs = (P(), P(None, AXES.all), P(None, AXES.all))
-            elif self.transposed:
+            else:
                 in_specs = (P(), P(None, AXES.all))
                 if with_rows:
                     in_specs += (P(AXES.all, None),)
-            else:
-                in_specs = (P(), P(AXES.all, None))
             mapped = shard_map(
                 body,
                 mesh=self.mesh,

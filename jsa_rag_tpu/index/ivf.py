@@ -93,6 +93,15 @@ class ShardedIVFIndex:
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
+        if isinstance(dtype, str) and dtype == "hybrid":
+            # --index_dtype hybrid with an IVF mode: the IVF analogue of
+            # hybrid flat storage is a quantized probe scan + exact fp16
+            # rerank — turn refine on (and default dense storage to sq8)
+            # instead of crashing on the non-numpy dtype string
+            refine = True
+            if storage == "dense":
+                storage = "sq8"
+            dtype = jnp.bfloat16
         if jnp.dtype(dtype) == jnp.int8 and storage == "dense":
             # --index_dtype int8 + --index_mode ivf == the reference's ivfsq
             # (only when no explicit storage was requested: an ivfpq index

@@ -427,6 +427,17 @@ def f16_to_bits(emb_f16: jax.Array) -> jax.Array:
         emb_f16.astype(jnp.float16), jnp.int16)
 
 
+def hybrid_int8_from_bits(bits_rows: jax.Array):
+    """THE hybrid-storage coarse derivation (single source of truth shared
+    by ``ShardedFlatIndex._hybrid_copies`` and the benches): decode fp16
+    bits rows and per-row int8-quantize the DECODED values. Returns
+    (codes (rows, d) int8, scales (rows,) f32)."""
+    x = jax.lax.bitcast_convert_type(
+        bits_rows, jnp.float16).astype(jnp.float32)
+    v, s = quantize_int8(x)
+    return v, s[:, 0]
+
+
 # ------------------------------------------------- fp16, transposed layout
 def _topt_f16h_kernel_t(qh_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
                         t_per_tile: int, tile_n: int):

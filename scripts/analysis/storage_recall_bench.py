@@ -54,9 +54,10 @@ def main(argv=None):
 
     from jsa_rag_tpu.ops.mips import mips_topk_exact
     from jsa_rag_tpu.ops.mips_pallas2 import (
-        f16_to_bits, mips_topk_pallas2, mips_topk_pallas2_f16,
-        mips_topk_pallas2_f16_t, mips_topk_pallas2_int8,
-        mips_topk_pallas2_int8_t, mips_topk_pallas2_t, quantize_int8,
+        f16_to_bits, hybrid_int8_from_bits, mips_topk_pallas2,
+        mips_topk_pallas2_f16, mips_topk_pallas2_f16_t,
+        mips_topk_pallas2_int8, mips_topk_pallas2_int8_t,
+        mips_topk_pallas2_t, quantize_int8,
     )
 
     n, d, b, k = args.n, args.d, args.b, args.k
@@ -112,12 +113,10 @@ def main(argv=None):
                 jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))))
 
     def enc_hybrid(e):
-        # exactly as ShardedFlatIndex derives it: int8 quantized from the
-        # DECODED fp16 values, plus the fp16-bits rows for the rescore
+        # uses the SHARED hybrid derivation helper (the exact transform
+        # ShardedFlatIndex._hybrid_copies applies)
         bits_rows = f16_to_bits(e.astype(jnp.float16))
-        x = jax.lax.bitcast_convert_type(
-            bits_rows, jnp.float16).astype(jnp.float32)
-        v, s = quantize_int8(x)
+        v, s = hybrid_int8_from_bits(bits_rows)
         return (jnp.pad(v.T, ((0, 0), (0, n_pad - n))),
                 jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),
                 bits_rows)

@@ -305,3 +305,22 @@ def test_ivf_refine_save_load(tmp_path, corpora):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                rtol=0, atol=0)
+
+
+def test_hybrid_dtype_with_ivf_mode(corpora):
+    """--index_dtype hybrid + an IVF mode must map to the IVF analogue
+    (quantized scan + fp16 rerank), not crash on the dtype string."""
+    mesh, e, flat = corpora
+    ivf = ShardedIVFIndex(mesh, len(e), 32, dtype="hybrid", n_lists=16,
+                          n_probe=16)
+    assert ivf.refine and ivf.storage == "sq8"
+    ivf.train(e, iters=5)
+    rng = np.random.default_rng(23)
+    gold = rng.integers(0, len(e), 8)
+    q = (e[gold] + 0.02 * rng.standard_normal((8, 32))).astype(np.float32)
+    _, vi = ivf.search(jnp.asarray(q), 5, n_probe=16)
+    # full probe + refine: the top-1 is the fp16-exact argmax (the tight
+    # clusters make `gold` itself ambiguous, so compare to the oracle)
+    oracle = np.argmax(q @ e.astype(np.float16).astype(np.float32).T,
+                       axis=1)
+    assert (np.asarray(vi)[:, 0] == oracle).all()
