@@ -142,6 +142,11 @@ class Options:
     # IndexRefineFlat capability): sq8/pq probe speed, storage-quantization
     # ranking errors removed, +2 bytes/element HBM
     ivf_refine: bool = False
+    # rescore-pool width multiplier for the coarse-refine searches (flat
+    # hybrid storage and --ivf_refine): the coarse scan's top-(r*k)
+    # candidates are rescored exactly; r=4 recovers ~all fp16 recall for
+    # flat hybrid, raise for very tight score distributions
+    refine_r: int = 4
     load_index_path: str | None = None
     save_index_path: str | None = None
     save_index_n_shards: int = 16

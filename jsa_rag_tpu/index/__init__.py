@@ -22,8 +22,10 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
     if mode == "faiss":
         ftype = opt.faiss_index_type
         if ftype == "flat":
-            return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
-                                    refine_gather=opt.refine_gather)
+            idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
+                                   refine_gather=opt.refine_gather)
+            idx.refine_r = opt.refine_r
+            return idx
         mode = "ivf"
         storage = {"ivfflat": "dense", "ivfsq": "sq8",
                    "ivfpq": "pq", "pq": "pq"}[ftype]
@@ -33,13 +35,17 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
     if mode == "ivf":
         from .ivf import ShardedIVFIndex
 
-        return ShardedIVFIndex(mesh, n_passages, dim, dtype=dtype,
-                               n_lists=n_lists, n_probe=n_probe,
-                               storage=storage,
-                               code_size=opt.faiss_code_size,
-                               refine=opt.ivf_refine)
-    return ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
-                            refine_gather=opt.refine_gather)
+        idx = ShardedIVFIndex(mesh, n_passages, dim, dtype=dtype,
+                              n_lists=n_lists, n_probe=n_probe,
+                              storage=storage,
+                              code_size=opt.faiss_code_size,
+                              refine=opt.ivf_refine)
+        idx.refine_r = opt.refine_r
+        return idx
+    idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
+                           refine_gather=opt.refine_gather)
+    idx.refine_r = opt.refine_r
+    return idx
 
 
 def load_index(path: str, mesh, method: str = "auto",
