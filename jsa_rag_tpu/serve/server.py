@@ -14,12 +14,104 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class _SearchBatcher:
+    """Coalesce concurrent searches into one bucketed device dispatch.
+
+    Two serving problems this solves (neither exists in the reference,
+    whose FAISS server is CPU-side and shape-oblivious):
+
+    - every distinct (batch, k) pair is a separate XLA program: ragged
+      per-request batch sizes would compile a new search program per
+      client, so request rows are padded to power-of-two buckets (min 8)
+      and k to a power-of-two bucket;
+    - concurrent requests each pay a full device dispatch: requests
+      arriving within ``window_s`` are concatenated and searched as ONE
+      batch, then sliced back per request. A single worker thread owns
+      the device, so searches never interleave.
+    """
+
+    def __init__(self, index, window_s: float = 0.003,
+                 max_rows: int = 1024):
+        self.index = index
+        self.window_s = window_s
+        self.max_rows = max_rows
+        self._lock = threading.Lock()
+        self._pending: list[dict] = []
+        self._kick = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def search(self, q: np.ndarray, topk: int):
+        """Blocking: enqueue one request's rows, wait for its slice."""
+        item = {"q": q, "k": topk, "done": threading.Event()}
+        with self._lock:
+            self._pending.append(item)
+        self._kick.set()
+        item["done"].wait()
+        if "err" in item:
+            raise item["err"]
+        return item["scores"], item["ids"]
+
+    def _loop(self):
+        while not self._stop:
+            self._kick.wait(timeout=0.1)
+            if self._stop:
+                return
+            if not self._pending:
+                self._kick.clear()
+                continue
+            time.sleep(self.window_s)  # collection window
+            with self._lock:
+                batch, self._pending = self._pending, []
+                self._kick.clear()
+            while batch:
+                # respect max_rows per dispatch
+                take, rows = [], 0
+                while batch and rows + batch[0]["q"].shape[0] <= self.max_rows:
+                    take.append(batch.pop(0))
+                    rows += take[-1]["q"].shape[0]
+                if not take:  # single oversized request: dispatch alone
+                    take = [batch.pop(0)]
+                    rows = take[0]["q"].shape[0]
+                self._dispatch(take, rows)
+
+    def _dispatch(self, take: list[dict], rows: int):
+        qs = np.concatenate([it["q"] for it in take])
+        k_max = max(it["k"] for it in take)
+        k_pad = 1 << max(0, k_max - 1).bit_length()
+        r_pad = max(8, 1 << max(0, rows - 1).bit_length())
+        if r_pad > rows:
+            qs = np.pad(qs, ((0, r_pad - rows), (0, 0)))
+        try:
+            s, i = self.index.search(jnp.asarray(qs), k_pad)
+            s, i = np.asarray(s), np.asarray(i)
+        except Exception as e:  # propagate to every waiter
+            for it in take:
+                it["err"] = e
+                it["done"].set()
+            return
+        o = 0
+        for it in take:
+            b = it["q"].shape[0]
+            kk = min(it["k"], s.shape[1])  # search clamps k to n_passages
+            it["scores"], it["ids"] = s[o:o + b, :kk], i[o:o + b, :kk]
+            o += b
+            it["done"].set()
+
+    def stop(self):
+        self._stop = True
+        self._kick.set()
+        self._thread.join(timeout=2)
 
 
 class IndexServer:
@@ -35,7 +127,8 @@ class IndexServer:
     """
 
     def __init__(self, index, store, dim: int, rebuild_fn=None,
-                 host: str = "127.0.0.1", port: int = 29501):
+                 host: str = "127.0.0.1", port: int = 29501,
+                 coalesce_window_s: float = 0.003):
         self.index = index
         self.store = store
         self.dim = dim
@@ -43,6 +136,9 @@ class IndexServer:
         self.host, self.port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # 0 disables coalescing (each request dispatches directly)
+        self.batcher = (_SearchBatcher(index, window_s=coalesce_window_s)
+                        if coalesce_window_s > 0 else None)
 
     # ------------------------------------------------------------------ http
     def _handler(self):
@@ -91,7 +187,11 @@ class IndexServer:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
                 try:
-                    scores, ids = server.index.search(jnp.asarray(q), topk)
+                    if server.batcher is not None:
+                        scores, ids = server.batcher.search(q, topk)
+                    else:
+                        scores, ids = server.index.search(
+                            jnp.asarray(q), topk)
                     ids = np.asarray(ids)
                     # -1 marks unfilled slots (IVF with n_probe too small
                     # for topk); a raw store[int(i)] would wrap to the LAST
@@ -131,3 +231,5 @@ class IndexServer:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd = None
+        if self.batcher is not None:
+            self.batcher.stop()

@@ -107,3 +107,45 @@ def test_health_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 404
+
+
+def test_concurrent_retrieves_coalesce(server):
+    """Concurrent /retrieve requests coalesce into fewer bucketed device
+    dispatches (the _SearchBatcher), and every client still gets exactly
+    its own correct rows."""
+    import threading
+
+    srv, e, store, _, url = server
+    calls = []
+    orig = srv.index.search
+
+    def counting_search(q, k):
+        calls.append((int(q.shape[0]), int(k)))
+        return orig(q, k)
+
+    srv.index.search = counting_search
+    try:
+        results = {}
+
+        def client(i):
+            q = e[[i, i + 1]] + 0.001  # 2 rows per request
+            results[i] = call_retrieve_api(url, q, topk=3)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        srv.index.search = orig
+
+    for i, (docs, scores) in results.items():
+        assert len(docs) == 2 and len(docs[0]) == 3
+        # row 0 of request i is the query nearest e[i]
+        assert docs[0][0]["id"] == store[i]["id"], (i, docs[0][0])
+    # 8 concurrent 2-row requests → far fewer dispatches than 8, all
+    # bucketed to power-of-two rows and k
+    assert len(calls) < 8, calls
+    assert all((b & (b - 1)) == 0 and b >= 8 for b, _ in calls), calls
+    assert all((k & (k - 1)) == 0 for _, k in calls), calls
