@@ -149,7 +149,9 @@ class ShardedFlatIndex:
     Embeddings are stored fp16 by default — the reference's storage
     precision (src/index.py:52), kept as raw bits and scored at fp16
     precision by the fused kernel; scores always accumulate in f32.
-    bf16 (faster) and int8 (half memory) are the alternatives.
+    bf16 (faster) and int8 (half memory) are the alternatives, and
+    "hybrid" pairs fp16 rows with a derived transposed int8 coarse copy
+    (int8-scan bandwidth, fp16-rescored results).
     """
 
     def __init__(
