@@ -35,6 +35,10 @@ def main(argv=None, block: bool = True):
                          "build_passage_store.py) instead of jsonl")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=29501)
+    ap.add_argument("--coalesce_window_ms", type=float, default=3.0,
+                    help="collection window for batching concurrent "
+                         "/retrieve requests into one bucketed device "
+                         "dispatch; 0 disables coalescing")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -59,7 +63,8 @@ def main(argv=None, block: bool = True):
             f"{index.n_passages} — wrong corpus for this index")
 
     server = IndexServer(index, store, index.dim,
-                         host=args.host, port=args.port)
+                         host=args.host, port=args.port,
+                         coalesce_window_s=args.coalesce_window_ms / 1e3)
     port = server.start()
     print(f"serving {index.n_passages} passages on {args.host}:{port}",
           flush=True)
