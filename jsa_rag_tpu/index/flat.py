@@ -133,8 +133,11 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
                 q, emb_shard, min(shard_rows, k), method=method,
                 valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
                 emb_rows=aux_shard)
-    # flat position of this device's shard among all index shards
-    gidx = local_idx + shard_pos * shard_rows
+    # flat position of this device's shard among all index shards;
+    # kernel placeholder slots (local id -1) must stay -1 — offsetting
+    # them would alias the previous shard's last passage
+    gidx = jnp.where(local_idx < 0, -1,
+                     local_idx + shard_pos * shard_rows)
     scores = jnp.where((gidx >= 0) & (gidx < n_true), scores, NEG_INF)
     # gather every device's k_local candidates and merge: (B, W*k_local)
     all_s = jax.lax.all_gather(scores, axes, axis=1, tiled=True)

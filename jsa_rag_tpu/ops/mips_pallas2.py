@@ -29,6 +29,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref):
+    """T static extract-max passes (unrolled; no data-dependent control
+    flow) — the per-tile candidate emit shared by every fused kernel.
+
+    Exhausted slots emit id -1: when a tile has fewer than T scorable
+    columns, argmax over an all-NEG_INF row returns column 0 — a REAL
+    passage id — and a coarse-refine rescore would restore that
+    placeholder to its true score, letting one passage fill many top-k
+    slots (confirmed duplicate-id bug at refine*k > a shard's valid
+    count). The -1 sentinel is masked by ``_f16_refine`` and by the
+    sharded merge."""
+    for t in range(t_per_tile):
+        v = jnp.max(s, axis=1)
+        am = jnp.argmax(s, axis=1)
+        out_s_ref[0, :, t] = v
+        out_i_ref[0, :, t] = jnp.where(
+            v > NEG_INF * 0.5, am.astype(jnp.int32) + nt * tile_n, -1)
+        s = jnp.where(col == am[:, None], NEG_INF, s)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -65,13 +85,7 @@ def _topt_kernel(q_ref, e_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < n_true, s, NEG_INF)
-    # T static extract-max passes (unrolled; no data-dependent control flow)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -183,12 +197,7 @@ def _topt_kernel_t(q_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -335,12 +344,7 @@ def _topt_f16_kernel(qh_ref, ql_ref, e_ref, out_s_ref, out_i_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < n_true, s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -458,12 +462,7 @@ def _topt_f16h_kernel_t(qh_ref, e_ref, nv_ref, out_s_ref, out_i_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 def _topt_f16_kernel_t(qh_ref, ql_ref, e_ref, nv_ref, out_s_ref, out_i_ref,
@@ -490,12 +489,7 @@ def _topt_f16_kernel_t(qh_ref, ql_ref, e_ref, nv_ref, out_s_ref, out_i_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -641,7 +635,10 @@ def _f16_refine(q, emb_bits_t, ids, k: int, nv, emb_rows=None):
             cols.T.reshape(b, kc, d), jnp.float16).astype(jnp.float32)
     s = jnp.einsum("bd,bkd->bk", q, x,
                    precision=jax.lax.Precision.HIGHEST)
-    s = jnp.where(ids < nv[0], s, NEG_INF)
+    # mask pads AND the -1 placeholder sentinel (whose clip-gather above
+    # read row 0's real values — without this mask it would resurface as
+    # a duplicate of passage 0 at its true score)
+    s = jnp.where((ids >= 0) & (ids < nv[0]), s, NEG_INF)
     v, a = jax.lax.top_k(s, k)
     return v, jnp.take_along_axis(ids, a, axis=1)
 
@@ -676,12 +673,7 @@ def _topt_int8_kernel(qv_ref, qs_ref, e_ref, es_ref, out_s_ref, out_i_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < n_true, s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 def _topt_int8_kernel_t(qv_ref, qs_ref, e_ref, es_ref, nv_ref, out_s_ref,
@@ -701,12 +693,7 @@ def _topt_int8_kernel_t(qv_ref, qs_ref, e_ref, es_ref, nv_ref, out_s_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
     gidx = col + nt * tile_n
     s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
-    for t in range(t_per_tile):
-        v = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1)
-        out_s_ref[0, :, t] = v
-        out_i_ref[0, :, t] = am.astype(jnp.int32) + nt * tile_n
-        s = jnp.where(col == am[:, None], NEG_INF, s)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
 @functools.partial(

@@ -434,3 +434,54 @@ def test_pallas2_int8_transposed_exact_and_hybrid():
         vs3, np.take_along_axis(sf, vi3, axis=1), rtol=1e-5, atol=1e-5)
     recall = np.mean([len(set(vi3[i]) & set(ofi[i])) / k for i in range(b)])
     assert recall >= 0.95
+
+
+def test_f16_refine_no_duplicate_ids_when_pool_exceeds_valid():
+    """Regression (review r3): with refine*k > the valid-column count,
+    exhausted tile slots used to emit placeholder id 0 at NEG_INF coarse
+    score, and the refine rescore restored them to passage 0's TRUE
+    score — one passage filled dozens of top-k slots (76/100 unique ids
+    at n_valid=104, k=100, refine=4). Placeholders now carry id -1 and
+    are masked."""
+    from jsa_rag_tpu.ops.mips_pallas2 import (f16_to_bits,
+                                              mips_topk_pallas2_f16_t,
+                                              mips_topk_pallas2_int8_t,
+                                              quantize_int8)
+    rng = np.random.default_rng(61)
+    b, n_valid, n_alloc, d, k = 4, 104, 128, 32, 100
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    e = rng.standard_normal((n_valid, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e16 = e.astype(np.float16)
+    bits_t = np.zeros((d, n_alloc), np.int16)
+    bits_t[:, :n_valid] = np.asarray(f16_to_bits(jnp.asarray(e16))).T
+    vs, vi = mips_topk_pallas2_f16_t(
+        jnp.asarray(q), jnp.asarray(bits_t), k, valid_n=n_valid,
+        pool_n=n_valid, tile_q=8, tile_n=128, t_per_tile=8,
+        interpret=True, refine=4)
+    vs, vi = np.asarray(vs), np.asarray(vi)
+    s = q @ e16.astype(np.float32).T
+    oi = np.argsort(-s, axis=1)[:, :k]
+    for row in range(b):
+        assert len(set(vi[row])) == k, (row, len(set(vi[row])))
+        assert set(vi[row]) == set(oi[row])
+    np.testing.assert_allclose(
+        vs, np.take_along_axis(s, vi, axis=1), rtol=1e-5, atol=1e-5)
+
+    # same guarantee for the hybrid int8 coarse + fp16 refine kernel
+    v8, sc = (np.asarray(a) for a in quantize_int8(jnp.asarray(
+        e16.astype(np.float32))))
+    emb_t = np.zeros((d, n_alloc), np.int8)
+    emb_t[:, :n_valid] = v8.T
+    scales = np.zeros((1, n_alloc), np.float32)
+    scales[0, :n_valid] = sc[:, 0]
+    rows_bits = np.asarray(f16_to_bits(jnp.asarray(e16)))
+    hs, hi = mips_topk_pallas2_int8_t(
+        jnp.asarray(q), jnp.asarray(emb_t), jnp.asarray(scales), k,
+        valid_n=n_valid, pool_n=n_valid, tile_q=8, tile_n=128,
+        t_per_tile=8, interpret=True, refine=4,
+        emb_rows=jnp.asarray(rows_bits))
+    hi = np.asarray(hi)
+    for row in range(b):
+        assert len(set(hi[row])) == k
+        assert set(hi[row]) == set(oi[row])
