@@ -55,8 +55,9 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
     # forward below is a global program over cross-process-sharded params —
     # per-rank shapes MUST match. Also saves tail recompiles single-chip.
     batches = (_pad_batch_rows(b, opt.per_gpu_batch_size) for b in batches)
-    batches = _pad_batches_across_processes(batches,
-                                            rows=opt.per_gpu_batch_size)
+    batches = _pad_batches_across_processes(
+        batches, rows=opt.per_gpu_batch_size,
+        extra_keys=("choices",) if hasattr(task, "choices") else ())
 
     task_filter = getattr(task, "filter", None)
     task_filter = task_filter if callable(task_filter) else None
@@ -198,8 +199,9 @@ def run_retrieval_only(model: RAGModel, index, params, opt: Options,
     # (short ranks get dummy batches — reference: evaluate.py:44-56) with
     # the same static row count (ragged tails are per-process)
     batches = (_pad_batch_rows(b, opt.per_gpu_batch_size) for b in batches)
-    batches = _pad_batches_across_processes(batches,
-                                            rows=opt.per_gpu_batch_size)
+    batches = _pad_batches_across_processes(
+        batches, rows=opt.per_gpu_batch_size,
+        extra_keys=("choices",) if hasattr(task, "choices") else ())
     t0 = time.time()
     n = 0
     for batch in batches:
@@ -275,10 +277,17 @@ def _pad_batch_rows(batch: dict, rows: int) -> dict:
     return out
 
 
-def _pad_batches_across_processes(batches, rows: int = 1):
+def _pad_batches_across_processes(batches, rows: int = 1,
+                                  extra_keys: tuple = ()):
     """Multi-process eval: every process must issue the same number of
     collective searches, so short ranks append dummy batches up to the
-    global max (reference: evaluate.py:44-56 all_reduce-MAX + dummies)."""
+    global max (reference: evaluate.py:44-56 all_reduce-MAX + dummies).
+
+    ``extra_keys``: task-schema keys the dummy template must carry so an
+    ALL-dummy rank takes the same device branches as data ranks (e.g. a
+    multiple-choice task gates its _choice_logits global forward on
+    ``"choices" in batch`` — a template without the key would skip that
+    collective program and desync)."""
     batches = list(batches)
     if jax.process_count() == 1:
         return batches
@@ -295,6 +304,7 @@ def _pad_batches_across_processes(batches, rows: int = 1):
         template = _pad_batch_rows(
             {"query": ["pad"], "target": ["pad"],
              "passages": [[{"title": "", "text": ""}]],
+             **{k: ["pad"] for k in extra_keys},
              "__size__": 1}, rows)
     for _ in range(max_count - len(batches)):
         batches.append(dict(template, __dummy__=True))

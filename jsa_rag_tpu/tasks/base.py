@@ -11,6 +11,18 @@ from collections import defaultdict
 
 from ..utils.metrics import exact_match_score
 
+
+def _process_count() -> int:
+    import jax  # deferred: the task layer is otherwise jax-free
+
+    return jax.process_count()
+
+
+def _process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
 logger = logging.getLogger(__name__)
 
 
@@ -85,6 +97,18 @@ class BaseTask:
                         batch[k] = [v[i % n] for i in range(batch_size)]
                 batch["__size__"] = batch_size
                 yield batch
+        elif drop_last and yielded == 0 and _process_count() > 1:
+            # ZERO usable examples on this rank (every raw line filtered
+            # out by task.process): the repeat-pad protection above has
+            # nothing to replicate, and silently yielding no batches
+            # would hang the other ranks inside the global train step's
+            # collectives. Fail loudly on THIS rank instead — the fix is
+            # data sharding / filters, not padding.
+            raise RuntimeError(
+                f"process {_process_index()}'s data shard produced "
+                "zero usable examples after task filtering — multi-"
+                "process training would desync; rebalance the shards or "
+                "relax the filter")
 
     @staticmethod
     def shuffle_iterator(dataset, buffer_size: int = 65536, seed=None):

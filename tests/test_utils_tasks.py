@@ -460,3 +460,20 @@ def test_eval_pad_batch_rows_static_shapes():
     # full batches pass through untouched
     full = {"query": ["a", "b"], "target": ["x", "y"], "__size__": 2}
     assert _pad_batch_rows(full, 2) is full
+
+
+def test_batch_iterator_zero_example_shard():
+    """A rank whose shard filters to ZERO examples: silent empty epochs
+    would hang the other ranks inside the global step's collectives, so
+    multi-process raises; single-process just yields nothing."""
+    from jsa_rag_tpu.tasks.base import BaseTask
+    import jsa_rag_tpu.tasks.base as B
+
+    assert list(BaseTask.batch_iterator(iter([]), 4, drop_last=True)) == []
+    orig = B._process_count
+    B._process_count = lambda: 2
+    try:
+        with pytest.raises(RuntimeError, match="zero usable examples"):
+            list(BaseTask.batch_iterator(iter([]), 4, drop_last=True))
+    finally:
+        B._process_count = orig
