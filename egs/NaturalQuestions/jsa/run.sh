@@ -40,6 +40,8 @@ python train.py \
   --total_steps 20000 \
   --refresh_index 0-40000:40000 \
   --per_gpu_embedder_batch_size 256 \
+  `# storage options: --index_dtype hybrid = int8-scan speed at fp16` \
+  `# recall (1.5x HBM); bfloat16 = max throughput; int8 = half memory` \
   --precision bf16 \
   --log_freq 100 --eval_freq 500 --save_freq 5000 \
   --save_build_retriever_step 500 \
