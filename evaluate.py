@@ -42,7 +42,8 @@ def main(argv=None) -> None:
     elif opt.load_index_path:
         index = load_index(opt.load_index_path, mesh,
                            expected_dim=model.retriever.cfg.bert.hidden,
-                           refine_gather=opt.refine_gather)
+                           refine_gather=opt.refine_gather,
+                           refine_r=opt.refine_r)
     else:
         index = build_index_for(opt, len(store),
                                 model.retriever.cfg.bert.hidden, mesh)

@@ -21,17 +21,13 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
         opt.ivf_n_probe or None
     if mode == "faiss":
         ftype = opt.faiss_index_type
-        if ftype == "flat":
-            idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
-                                   refine_gather=opt.refine_gather)
-            idx.refine_r = opt.refine_r
-            return idx
-        mode = "ivf"
-        storage = {"ivfflat": "dense", "ivfsq": "sq8",
-                   "ivfpq": "pq", "pq": "pq"}[ftype]
-        if ftype == "pq":  # flat PQ: degenerate coarse level, scan all
-            n_lists = mesh.devices.size
-            n_probe = n_lists
+        if ftype != "flat":
+            mode = "ivf"
+            storage = {"ivfflat": "dense", "ivfsq": "sq8",
+                       "ivfpq": "pq", "pq": "pq"}[ftype]
+            if ftype == "pq":  # flat PQ: degenerate coarse level, scan all
+                n_lists = mesh.devices.size
+                n_probe = n_lists
     if mode == "ivf":
         from .ivf import ShardedIVFIndex
 
@@ -40,19 +36,21 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
                               storage=storage,
                               code_size=opt.faiss_code_size,
                               refine=opt.ivf_refine)
-        idx.refine_r = opt.refine_r
-        return idx
-    idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
-                           refine_gather=opt.refine_gather)
+    else:
+        idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
+                               refine_gather=opt.refine_gather)
     idx.refine_r = opt.refine_r
     return idx
 
 
 def load_index(path: str, mesh, method: str = "auto",
                expected_dim: int | None = None,
-               refine_gather: str = "cols"):
+               refine_gather: str = "cols",
+               refine_r: int | None = None):
     """Load a saved index, dispatching on its meta ``kind`` (flat / ivf).
-    ``expected_dim`` validates against the live retriever's hidden size."""
+    ``expected_dim`` validates against the live retriever's hidden size.
+    ``refine_r`` overrides the rescore-pool width (--refine_r) so a loaded
+    index searches with the same pool as a freshly built one."""
     import json
     import os
 
@@ -65,6 +63,8 @@ def load_index(path: str, mesh, method: str = "auto",
     else:
         index = ShardedFlatIndex.load(path, mesh, method=method)
         index.refine_gather = refine_gather
+    if refine_r is not None:
+        index.refine_r = refine_r
     if expected_dim is not None and index.dim != expected_dim:
         raise ValueError(
             f"loaded index dim {index.dim} != retriever hidden "

@@ -132,7 +132,7 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
             scores, local_idx = mips.mips_topk_t(
                 q, emb_shard, min(shard_rows, k), method=method,
                 valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
-                emb_rows=aux_shard)
+                emb_rows=aux_shard, refine=refine_r)
     # flat position of this device's shard among all index shards;
     # kernel placeholder slots (local id -1) must stay -1 — offsetting
     # them would alias the previous shard's last passage

@@ -222,13 +222,16 @@ def mips_topk_t(
     valid_n: jax.Array | int | None = None,
     pool_n: int | None = None,
     emb_rows: jax.Array | None = None,
+    refine: int = 4,
 ) -> tuple[jax.Array, jax.Array]:
     """MIPS over a transposed (d, N) index — the dense flat-index layout
     (matches the reference's (dim, N_local) storage, src/index.py:52; on TPU
-    it feeds the MXU contraction-major, 1.6x faster than row-major at
-    d=1024). ``pool_n``: static lower bound on valid columns for pallas
+    it feeds the MXU contraction-major, 1.6x faster than d=1024 row-major).
+    ``pool_n``: static lower bound on valid columns for pallas
     candidate-pool sizing (see mips_topk_pallas2_t). ``emb_rows``: optional
-    row-major (N, d) copy for the fp16 refine gather (mips_pallas2_f16_t)."""
+    row-major (N, d) copy for the fp16 refine gather (mips_pallas2_f16_t).
+    ``refine``: rescore-pool widening factor for the fp16 coarse-refine
+    path (--refine_r; the f32 rescore reranks refine*k coarse candidates)."""
     n = embeddings_t.shape[1]
     if embeddings_t.dtype == jnp.int16:
         # raw IEEE-half bits, transposed (the production fp16 storage).
@@ -242,7 +245,7 @@ def mips_topk_t(
 
             return mips_topk_pallas2_f16_t(
                 queries.astype(jnp.float32), embeddings_t, k,
-                valid_n=valid_n, pool_n=pool_n, refine=4,
+                valid_n=valid_n, pool_n=pool_n, refine=refine,
                 emb_rows=emb_rows)
         # explicit exact/approx oracle: decode, then the XLA column scan
         embeddings_t = jax.lax.bitcast_convert_type(

@@ -39,6 +39,9 @@ def main(argv=None, block: bool = True):
                     help="collection window for batching concurrent "
                          "/retrieve requests into one bucketed device "
                          "dispatch; 0 disables coalescing")
+    ap.add_argument("--refine_r", type=int, default=4,
+                    help="rescore-pool widening for coarse-refine search "
+                         "(same meaning as the train/evaluate flag)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -56,7 +59,7 @@ def main(argv=None, block: bool = True):
         ap.error("one of --passages / --mmap_store is required")
 
     mesh = make_mesh(n_data=1)
-    index = load_index(args.index_path, mesh)
+    index = load_index(args.index_path, mesh, refine_r=args.refine_r)
     if len(store) != index.n_passages:
         raise SystemExit(
             f"passage store has {len(store)} rows but the index holds "

@@ -55,9 +55,14 @@ class _SearchBatcher:
         """Blocking: enqueue one request's rows, wait for its slice."""
         item = {"q": q, "k": topk, "done": threading.Event()}
         with self._lock:
+            if self._stop:
+                raise RuntimeError("search batcher stopped")
             self._pending.append(item)
         self._kick.set()
-        item["done"].wait()
+        # bounded waits so a dead worker thread can never hang the caller
+        while not item["done"].wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("search batcher worker died")
         if "err" in item:
             raise item["err"]
         return item["scores"], item["ids"]
@@ -65,15 +70,18 @@ class _SearchBatcher:
     def _loop(self):
         while not self._stop:
             self._kick.wait(timeout=0.1)
+            # clear BEFORE reading pending: a set() that lands after this
+            # point survives for the next iteration, so a request enqueued
+            # between the check and the clear is never delayed
+            self._kick.clear()
             if self._stop:
-                return
-            if not self._pending:
-                self._kick.clear()
-                continue
+                break
+            with self._lock:
+                if not self._pending:
+                    continue
             time.sleep(self.window_s)  # collection window
             with self._lock:
                 batch, self._pending = self._pending, []
-                self._kick.clear()
             while batch:
                 # respect max_rows per dispatch
                 take, rows = [], 0
@@ -84,15 +92,21 @@ class _SearchBatcher:
                     take = [batch.pop(0)]
                     rows = take[0]["q"].shape[0]
                 self._dispatch(take, rows)
+        # fail anything still queued so no waiter hangs at shutdown
+        with self._lock:
+            leftover, self._pending = self._pending, []
+        for it in leftover:
+            it["err"] = RuntimeError("search batcher stopped")
+            it["done"].set()
 
     def _dispatch(self, take: list[dict], rows: int):
-        qs = np.concatenate([it["q"] for it in take])
-        k_max = max(it["k"] for it in take)
-        k_pad = 1 << max(0, k_max - 1).bit_length()
-        r_pad = max(8, 1 << max(0, rows - 1).bit_length())
-        if r_pad > rows:
-            qs = np.pad(qs, ((0, r_pad - rows), (0, 0)))
         try:
+            qs = np.concatenate([it["q"] for it in take])
+            k_max = max(it["k"] for it in take)
+            k_pad = 1 << max(0, k_max - 1).bit_length()
+            r_pad = max(8, 1 << max(0, rows - 1).bit_length())
+            if r_pad > rows:
+                qs = np.pad(qs, ((0, r_pad - rows), (0, 0)))
             s, i = self.index.search(jnp.asarray(qs), k_pad)
             s, i = np.asarray(s), np.asarray(i)
         except Exception as e:  # propagate to every waiter
@@ -109,7 +123,8 @@ class _SearchBatcher:
             it["done"].set()
 
     def stop(self):
-        self._stop = True
+        with self._lock:
+            self._stop = True
         self._kick.set()
         self._thread.join(timeout=2)
 

@@ -189,6 +189,34 @@ def test_load_index_kind_dispatch(tmp_path, mesh_flat):
                       ShardedFlatIndex)
     assert isinstance(load_index(str(tmp_path / "v"), mesh_flat),
                       ShardedIVFIndex)
+    # --refine_r reaches loaded indexes of both kinds (review: the load
+    # path silently kept the constructor default, so a train-time
+    # refine_r ran eval with a narrower rescore pool)
+    assert load_index(str(tmp_path / "f"), mesh_flat,
+                      refine_r=16).refine_r == 16
+    assert load_index(str(tmp_path / "v"), mesh_flat,
+                      refine_r=16).refine_r == 16
+
+
+def test_build_index_for_applies_refine_r(mesh_flat):
+    """build_index_for applies --refine_r to every index kind, and the
+    flat fp16 search keys/forwards it to the kernel pool sizing."""
+    from jsa_rag_tpu.config import Options
+    from jsa_rag_tpu.index import build_index_for
+    from jsa_rag_tpu.index.ivf import ShardedIVFIndex
+
+    base = dict(index_dtype="float16", refine_r=12)
+    for kw, kind in [
+        (dict(index_mode="flat"), ShardedFlatIndex),
+        (dict(index_mode="faiss", faiss_index_type="flat"),
+         ShardedFlatIndex),
+        (dict(index_mode="faiss", faiss_index_type="ivfflat",
+              ivf_n_lists=4, ivf_n_probe=2), ShardedIVFIndex),
+    ]:
+        opt = Options(**base, **kw)
+        idx = build_index_for(opt, 256, 16, mesh_flat)
+        assert isinstance(idx, kind)
+        assert idx.refine_r == 12, kw
 
 
 def test_transposed_pad_starved_shard_keeps_topk(mesh_flat):

@@ -320,7 +320,7 @@ def test_two_process_evaluate_ragged_sharded(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -351,7 +351,9 @@ def test_two_process_eval_paths(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            # generous: ~150s alone, but the suite may share the host with
+            # other compile-heavy runs
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

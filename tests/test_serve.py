@@ -112,40 +112,65 @@ def test_health_and_errors(server):
 def test_concurrent_retrieves_coalesce(server):
     """Concurrent /retrieve requests coalesce into fewer bucketed device
     dispatches (the _SearchBatcher), and every client still gets exactly
-    its own correct rows."""
+    its own correct rows.
+
+    Deterministic (no reliance on the 3ms collection window): the first
+    device dispatch is held on an event until every other request has been
+    enqueued, so the stragglers MUST land in the batcher's pending list and
+    coalesce into (at most) one further dispatch."""
     import threading
+    import time
 
     srv, e, store, _, url = server
-    calls = []
+    calls, dispatched = [], []
     orig = srv.index.search
+    orig_dispatch = srv.batcher._dispatch
+    first_blocked, release = threading.Event(), threading.Event()
 
     def counting_search(q, k):
         calls.append((int(q.shape[0]), int(k)))
+        if len(calls) == 1:
+            first_blocked.set()
+            release.wait(timeout=10)
         return orig(q, k)
 
+    def counting_dispatch(take, rows):
+        dispatched.append(len(take))
+        return orig_dispatch(take, rows)
+
     srv.index.search = counting_search
+    srv.batcher._dispatch = counting_dispatch
     try:
         results = {}
 
         def client(i):
             q = e[[i, i + 1]] + 0.001  # 2 rows per request
-            results[i] = call_retrieve_api(url, q, topk=3)
+            results[i] = call_retrieve_api(q, topk=3, url=url)
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(8)]
         for t in threads:
             t.start()
+        assert first_blocked.wait(timeout=10)
+        # hold dispatch 1 until the other 7 requests sit in pending
+        deadline = time.monotonic() + 10
+        while (dispatched[0] + len(srv.batcher._pending) < 8
+               and time.monotonic() < deadline):
+            time.sleep(0.005)
+        n_pending = len(srv.batcher._pending)
+        release.set()
         for t in threads:
-            t.join()
+            t.join(timeout=30)
     finally:
         srv.index.search = orig
+        srv.batcher._dispatch = orig_dispatch
 
+    assert dispatched[0] + n_pending == 8, (dispatched, n_pending)
     for i, (docs, scores) in results.items():
         assert len(docs) == 2 and len(docs[0]) == 3
         # row 0 of request i is the query nearest e[i]
         assert docs[0][0]["id"] == store[i]["id"], (i, docs[0][0])
-    # 8 concurrent 2-row requests → far fewer dispatches than 8, all
-    # bucketed to power-of-two rows and k
-    assert len(calls) < 8, calls
+    # everything enqueued during the held dispatch coalesces into one more
+    assert len(calls) <= 2, calls
     assert all((b & (b - 1)) == 0 and b >= 8 for b, _ in calls), calls
     assert all((k & (k - 1)) == 0 for _, k in calls), calls
