@@ -112,13 +112,44 @@ def sharded_opt_init(tx, params, specs, mesh: Mesh):
 
 def apply_specs(params, specs, mesh: Mesh):
     """device_put a param tree according to a spec tree. (PartitionSpec is a
-    sequence, so the spec tree is flattened with an explicit is_leaf.)"""
+    sequence, so the spec tree is flattened with an explicit is_leaf.)
+
+    The placed tree must OWN its device buffers exclusively — it is what
+    the production train step donates, and donating a buffer that is also
+    reachable elsewhere deletes it under the other holder. Sharing arises
+    two ways: aliased tree positions (the posterior retriever is a shallow
+    tree copy of the prior at init — retriever.make_posterior), and
+    device_put itself, which zero-copy-reuses the INPUT's buffer when the
+    input already sits on one of the target devices (caller's array and
+    placed array share storage). Any placed leaf sharing a device buffer
+    with its input or an earlier leaf is copied; the copies are
+    semantically free — aliased positions receive independent gradients
+    and diverge from step 1 anyway."""
+    import jax.numpy as jnp
+
     leaves, treedef = jax.tree_util.tree_flatten(params)
     spec_leaves, spec_treedef = jax.tree_util.tree_flatten(
         specs, is_leaf=lambda s: isinstance(s, P))
     assert treedef.num_leaves == len(spec_leaves), (
         f"param/spec tree mismatch: {treedef.num_leaves} vs "
         f"{len(spec_leaves)}")
-    placed = [jax.device_put(x, _named(mesh, s))
-              for x, s in zip(leaves, spec_leaves)]
+    def bufptrs(y) -> set:
+        # identity of the DEVICE BUFFERS, not the python object: one
+        # buffer can back several jax.Arrays (and device_put may reuse
+        # the input's buffer for the shard already in place)
+        try:
+            return {s.data.unsafe_buffer_pointer()
+                    for s in y.addressable_shards}
+        except Exception:  # non-jax leaf (np/scalar) — host memory
+            return set()
+
+    placed, seen = [], set()
+    for x, s in zip(leaves, spec_leaves):
+        in_ptrs = bufptrs(x)
+        y = jax.device_put(x, _named(mesh, s))
+        if bufptrs(y) & (seen | in_ptrs):
+            # jnp.copy materializes fresh buffers, same sharding
+            y = jnp.copy(y)
+        seen |= bufptrs(y)
+        placed.append(y)
     return jax.tree_util.tree_unflatten(treedef, placed)

@@ -154,9 +154,15 @@ def make_train_step(fns: ApplyFns, mode: str, tx, mesh: Mesh):
     loss_fn = functools.partial(MODE_LOSSES[mode], fns)
     repl = NamedSharding(mesh, P())
 
-    # opt_state is donated (it is consumed every step); params are NOT —
-    # the posterior retriever may alias prior leaves at init
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    # params AND opt_state are donated (both are consumed every step):
+    # without donation XLA must produce fresh output buffers for the whole
+    # param tree — for a frozen/LoRA generator that is a full copy of
+    # unchanged weights per step (2x param HBM peak + the copy traffic).
+    # Donation is safe because setup_params/apply_specs de-aliases leaves
+    # (the posterior retriever starts as a shallow copy of the prior) and
+    # the loop rebinds params to the step's output. On CPU donation is
+    # silently dropped (tests unaffected).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, rng)

@@ -116,6 +116,36 @@ def main():
     print(f"total  : {tot*1e3:8.1f} ms/step -> "
           f"{args.batch/tot:.2f} examples/sec/chip (loss {loss:.3f})")
 
+    # ---- production fused step (what train.py actually runs): ONE jitted
+    # loss+grad+update program, params/opt_state donated (in-place update,
+    # no output-copy of frozen weights) — the A/B against grad+update above
+    from jsa_rag_tpu.train.step import (host_batch_rows, init_opt_state,
+                                        make_batch_placer, make_train_step,
+                                        setup_params)
+
+    params_p, specs = setup_params(opt, params, mesh)
+    tx2, _ = set_optim(opt, params_p)
+    opt_state2 = init_opt_state(tx2, params_p, specs, mesh)
+    fused = make_train_step(model.fns, "jsa", tx2, mesh)
+    place = make_batch_placer(mesh)
+    fused_times = []
+    for step in range(args.steps + 2):
+        qs, ts = make_qt(1000 + step)
+        batch = place(model.build_batch("jsa", index, params_p, qs, ts))
+        jax.block_until_ready(batch["union_passage_ids"])
+        t0 = time.time()
+        params_p, opt_state2, loss2, _aux = fused(
+            params_p, opt_state2, batch, jax.random.PRNGKey(step))
+        loss2 = float(loss2)
+        if step >= 2:
+            fused_times.append(time.time() - t0)
+        assert np.isfinite(loss2), loss2
+    ft = float(np.mean(fused_times))
+    gu = float(np.mean(times["grad"]) + np.mean(times["update"]))
+    print(f"fused  : {ft*1e3:8.1f} ms/step "
+          f"(+/- {np.std(fused_times)*1e3:.1f}) "
+          f"[vs grad+update {gu*1e3:.1f} ms] (loss {loss2:.3f})")
+
 
 if __name__ == "__main__":
     main()

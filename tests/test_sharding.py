@@ -51,3 +51,21 @@ def test_fsdp_sharding_and_optstate_inherit(mesh8):
     opt_state = sharded_opt_init(tx, sharded, specs, mesh)
     mu = opt_state[0].mu["embed"]
     assert mu.sharding.spec[0] == AXES.data  # optimizer state sharded
+
+
+def test_apply_specs_dealiases_shared_leaves(mesh8):
+    """Aliased leaves (posterior = shallow copy of prior at init,
+    retriever.make_posterior) must land on DISTINCT buffers: the placed
+    tree is donated by the production train step, and donating one buffer
+    through two argument slots fails on real hardware."""
+    shared = jnp.ones((16, 8), jnp.float32)
+    tree = {"prior": {"w": shared}, "post": {"w": shared}}
+    specs = {"prior": {"w": P()}, "post": {"w": P()}}
+    placed = apply_specs(tree, specs, mesh8)
+    a, b = placed["prior"]["w"], placed["post"]["w"]
+    assert a is not b
+    # distinct device buffers, identical values
+    pa = a.addressable_shards[0].data.unsafe_buffer_pointer()
+    pb = b.addressable_shards[0].data.unsafe_buffer_pointer()
+    assert pa != pb
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
