@@ -117,6 +117,28 @@ def train(
     # on every process (per-row randomness comes from in-program splits)
     rng = jax.random.PRNGKey(opt.seed)
     epoch = 0
+
+    # ---- deferred host sync -------------------------------------------
+    # train_step returns device FUTURES; fetching loss/aux to host every
+    # step would block the host until the device finishes, serializing
+    # host batch prep (tokenization) behind device compute. Instead the
+    # per-step scalars are queued and materialized at log boundaries, so
+    # the host starts building batch N+1 while step N still runs.
+    # Semantics-identical: the same values reach the same stats, later.
+    pending: list = []  # (iter_stats, loss_future, aux_futures, weight)
+    last_loss = float("nan")
+
+    def drain_pending() -> float:
+        nonlocal last_loss
+        for istats, ldev, adev, w in pending:
+            last_loss = float(ldev)
+            istats["loss/train_loss"] = (last_loss, w)
+            for k, v in adev.items():
+                if not k.startswith("debug/"):
+                    istats[k] = (float(v), w)
+            run_stats.update(istats)
+        pending.clear()
+        return last_loss
     while step < opt.total_steps:
         epoch += 1
         data_iterator = task.data_iterator(
@@ -181,30 +203,34 @@ def train(
                 train_batch = place_batch(train_batch)
                 params, opt_state, loss, aux = train_step(
                     params, opt_state, train_batch, sub)
-            loss = float(loss)
+            # dispatch time only — the device finishes asynchronously; the
+            # blocking cost shows up in the NEXT step's retrieval fetch and
+            # in runtime/train_step wall time
             iter_stats["runtime/fwdbwd+update"] = (time.time() - t0, 1)
             iter_stats["runtime/train_step"] = (time.time() - t_step, 1)
-            iter_stats["loss/train_loss"] = (loss, len(queries))
-            debug_aux = {}
-            for k, v in aux.items():
-                if k.startswith("debug/"):
-                    debug_aux[k] = np.asarray(v).tolist()
-                else:
-                    iter_stats[k] = (float(v), len(queries))
-            run_stats.update(iter_stats)
+            pending.append((iter_stats, loss, aux, len(queries)))
+            if len(pending) >= 32:  # bound retained device scalars
+                drain_pending()
 
-            if step <= opt.log_detail_num and jax.process_index() == 0:
+            if step <= opt.log_detail_num:
                 # step-level introspection dump (reference: train.py:228-230
                 # writes training_info_step{N}.json for --log_detail_num)
-                info = dict(getattr(model, "last_info", {}))
-                info.update(debug_aux)
-                info["loss"] = loss
-                with open(os.path.join(
-                        checkpoint_path,
-                        f"training_info_step{step}.json"), "w") as f:
-                    json.dump(info, f, indent=1)
+                # needs THIS step's values on host now
+                loss = drain_pending()
+                debug_aux = {k: np.asarray(v).tolist()
+                             for k, v in aux.items()
+                             if k.startswith("debug/")}
+                if jax.process_index() == 0:
+                    info = dict(getattr(model, "last_info", {}))
+                    info.update(debug_aux)
+                    info["loss"] = loss
+                    with open(os.path.join(
+                            checkpoint_path,
+                            f"training_info_step{step}.json"), "w") as f:
+                        json.dump(info, f, indent=1)
 
             if step % opt.log_freq == 0:
+                loss = drain_pending()
                 avg = run_stats.average_stats
                 log = f"EPOCH:{epoch} | {step}/{opt.total_steps}"
                 log += f" | train_loss:{loss:.4f}"
@@ -271,6 +297,7 @@ def train(
                 stop_now = bool(np.max(mhu.process_allgather(
                     np.array([stop_now], np.int32))))
             if stop_now:
+                drain_pending()
                 # preemption: checkpoint and exit cleanly; a restart with
                 # --model_path <run dir> resumes from here (all processes
                 # enter: the host fetch is collective, writes rank-0)
@@ -288,6 +315,7 @@ def train(
 
             if step >= opt.total_steps:
                 break
+    drain_pending()
     if metrics_log is not None:
         metrics_log.close()
     if tb is not None:
