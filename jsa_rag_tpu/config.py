@@ -97,6 +97,12 @@ class Options:
     # >0: double-buffered refresh spread over steps (batches per step)
     # instead of the blocking rebuild (SURVEY.md §7 "hard parts")
     incremental_refresh_batches: int = 0
+    # prefetch the next batch's retrieval before dispatching the current
+    # step so host tokenization overlaps device compute; candidate
+    # SELECTION runs one optimizer step stale (same approximation class as
+    # the between-refresh stale index; the loss still scores candidates
+    # with live params). Off = exact reference step order.
+    pipeline_retrieval: bool = False
     qa_prompt_format: str = "question: {question} answer: <extra_id_0>"
 
     # ----- JSA (src/options.py:452-552)

@@ -117,6 +117,9 @@ def train(
     # on every process (per-row randomness comes from in-program splits)
     rng = jax.random.PRNGKey(opt.seed)
     epoch = 0
+    # bumped on every rebuild/swap; a prefetched retrieval is only valid
+    # against the index version it searched (--pipeline_retrieval)
+    index_version = 0
 
     # ---- deferred host sync -------------------------------------------
     # train_step returns device FUTURES; fetching loss/aux to host every
@@ -148,7 +151,13 @@ def train(
         batches = task.batch_iterator(
             data_iterator, batch_rows, drop_last=True, shuffle=True,
             shuffle_buffer_size=opt.shuffle_buffer_size)
-        for batch in batches:
+        batches_it = iter(batches)
+        batch = next(batches_it, None)
+        # --pipeline_retrieval: (retrieval ctx for `batch`, index version
+        # it was retrieved against) — prefetched before the PREVIOUS step
+        # was dispatched so host tokenization below overlaps that step
+        prefetched = None
+        while batch is not None:
             iter_stats: dict = {}
             step += 1
             t_step = time.time()
@@ -178,25 +187,53 @@ def train(
                             refresher.start()
                     else:
                         model.build_index(index, params, iter_stats)
+                        index_version += 1
                     iter_stats["runtime/indexing"] = (time.time() - t0, 1)
             if refresher is not None and refresher.active:
                 t0 = time.time()
                 if refresher.step(params):
+                    index_version += 1
                     iter_stats["index/refresh_swapped"] = (1.0, 1)
                 iter_stats["runtime/incremental_refresh"] = (
                     time.time() - t0, 1)
 
             queries, targets = batch["query"], batch["target"]
             rng, sub = jax.random.split(rng)
+            filt = getattr(task, "filter", None)
+            filt = filt if callable(filt) else None
+            # a prefetched ctx is only valid against the index rows it
+            # searched; a rebuild/swap above invalidates it (re-retrieve
+            # with the fresh rows — exact refresh semantics)
+            retrieval = (prefetched[0] if prefetched is not None
+                         and prefetched[1] == index_version else None)
             t0 = time.time()
             with jax.profiler.TraceAnnotation("retrieve+tokenize"):
-                filt = getattr(task, "filter", None)
                 train_batch = model.build_batch(
                     mode, index, params, queries, targets, iter_stats,
                     file_passages=batch.get("passages"),
                     batch_metadata=batch.get("metadata"),
-                    filtering_fun=filt if callable(filt) else None)
+                    filtering_fun=filt, retrieval=retrieval)
             iter_stats["runtime/retrieve+tokenize"] = (time.time() - t0, 1)
+
+            # prefetch the NEXT batch's candidate retrieval with the
+            # CURRENT (pre-step) params, before the step occupies the
+            # device: its search runs ahead of the step and the next
+            # iteration's tokenization overlaps the step's device time.
+            # Candidate selection is one step stale; the loss rescoring
+            # is not (config.pipeline_retrieval).
+            next_batch = next(batches_it, None)
+            prefetched = None
+            if opt.pipeline_retrieval and next_batch is not None:
+                t0 = time.time()
+                with jax.profiler.TraceAnnotation("prefetch_retrieve"):
+                    prefetched = (model.retrieval_ctx(
+                        mode, index, params, next_batch["query"],
+                        next_batch["target"],
+                        file_passages=next_batch.get("passages"),
+                        batch_metadata=next_batch.get("metadata"),
+                        filtering_fun=filt), index_version)
+                iter_stats["runtime/prefetch_retrieve"] = (
+                    time.time() - t0, 1)
 
             t0 = time.time()
             with jax.profiler.StepTraceAnnotation("train", step_num=step):
@@ -315,6 +352,7 @@ def train(
 
             if step >= opt.total_steps:
                 break
+            batch = next_batch
     drain_pending()
     if metrics_log is not None:
         metrics_log.close()

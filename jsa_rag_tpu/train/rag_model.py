@@ -384,12 +384,15 @@ class RAGModel:
             out.append(row)
         return out
 
-    def build_batch(self, mode: str, index, params, queries, targets,
-                    iter_stats: dict | None = None, file_passages=None,
-                    batch_metadata=None, filtering_fun=None):
-        """Retrieve + tokenize everything the jitted mode loss needs.
-        ``filtering_fun`` is the task's anti-cheat filter
-        (lm/mlm/section: src/tasks/base.py:97-132)."""
+    def retrieval_ctx(self, mode: str, index, params, queries, targets,
+                      iter_stats: dict | None = None, file_passages=None,
+                      batch_metadata=None, filtering_fun=None) -> dict:
+        """The retrieval phase of ``build_batch``: everything that touches
+        the index (device search + host id fetch + passage resolution),
+        none of the tokenization. Separated so the train loop can PREFETCH
+        the next batch's candidates before dispatching the current step
+        (``--pipeline_retrieval``) and overlap host tokenization with the
+        in-flight device step."""
         topk = self.opt.n_context
         if self.opt.closed_book and file_passages is None:
             # closed-book needs no passage source at all (the index is
@@ -405,30 +408,17 @@ class RAGModel:
         queries_r = [remove_speakers(q) for q in queries]
         retr_kw = dict(iter_stats=iter_stats, batch_metadata=batch_metadata,
                        filtering_fun=filtering_fun)
-        if mode == "concat":
+        ctx: dict = {"use_file": use_file,
+                     "last_info": {"query": queries[0],
+                                   "response": targets[0]}}
+        if mode in ("concat", "rag"):
             if use_file:
-                passages = self._supplied_passages(file_passages, topk)
+                ctx["passages"] = self._supplied_passages(file_passages,
+                                                          topk)
             else:
-                _, _, passages = self.retrieve(index, params, queries_r,
-                                               topk, **retr_kw)
-            g = self._generator_rows(queries, passages, targets)
-            return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
-
-        if mode == "rag":
-            if use_file:
-                passages = self._supplied_passages(file_passages, topk)
-            else:
-                ids, _, passages = self.retrieve(
+                _, _, ctx["passages"] = self.retrieve(
                     index, params, queries_r, topk, **retr_kw)
-            q_ids, q_mask = self.retriever_tokenize(queries)
-            p_ids, p_mask = self._tokenize_passage_matrix(passages)
-            g = self._generator_rows(queries, passages, targets)
-            return {
-                "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
-                "passage_ids": jnp.asarray(p_ids),
-                "passage_mask": jnp.asarray(p_mask),
-                "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
-            }
+            return ctx
 
         post_queries = [f"{q} [SEP] {t}" for q, t in zip(queries_r, targets)]
         if use_file:
@@ -439,8 +429,6 @@ class RAGModel:
             # 80% of the pool); no index round-trip
             u_passages, valid = self.supplied_pool(file_passages)
             post_passages = [p[:topk] for p in u_passages]
-            prior_passages = post_passages
-            self.last_info = {"query": queries[0], "response": targets[0]}
         elif filtering_fun is not None:
             # filtering is host-side; use the two-call path
             post_ids_np, _, post_passages = self.retrieve(
@@ -449,7 +437,6 @@ class RAGModel:
                 index, params, queries_r, topk, **retr_kw)
             union, valid = self.build_union(post_ids_np, prior_ids_np)
             u_passages = self.passage_texts(union)
-            self.last_info = {"query": queries[0], "response": targets[0]}
         else:
             prior_ids_np, post_ids_np, prior_passages, post_passages = \
                 self.retrieve_pair(index, params, queries_r, post_queries,
@@ -458,14 +445,57 @@ class RAGModel:
             u_passages = self.passage_texts(union)
             # first-example retrieval snapshot for training_info dumps
             # (reference: train.py:228-230 / src/rag.py:691-696)
-            self.last_info = {
-                "query": queries[0],
-                "response": targets[0],
+            ctx["last_info"].update({
                 "prior_retrieved_ids": prior_ids_np[0].tolist(),
                 "post_retrieved_ids": post_ids_np[0].tolist(),
                 "prior_retrieved_texts": [p.get("text", "")
                                           for p in prior_passages[0]],
+            })
+        ctx.update(u_passages=u_passages, post_passages=post_passages,
+                   valid=valid)
+        return ctx
+
+    def build_batch(self, mode: str, index, params, queries, targets,
+                    iter_stats: dict | None = None, file_passages=None,
+                    batch_metadata=None, filtering_fun=None,
+                    retrieval: dict | None = None):
+        """Retrieve + tokenize everything the jitted mode loss needs.
+        ``filtering_fun`` is the task's anti-cheat filter
+        (lm/mlm/section: src/tasks/base.py:97-132). ``retrieval``: a
+        prefetched ``retrieval_ctx`` result to consume instead of
+        retrieving here (--pipeline_retrieval)."""
+        topk = self.opt.n_context
+        if retrieval is None:
+            retrieval = self.retrieval_ctx(
+                mode, index, params, queries, targets,
+                iter_stats=iter_stats, file_passages=file_passages,
+                batch_metadata=batch_metadata, filtering_fun=filtering_fun)
+        self.last_info = retrieval["last_info"]
+        use_file = retrieval["use_file"]
+        if mode == "concat":
+            passages = retrieval["passages"]
+            g = self._generator_rows(queries, passages, targets)
+            return {"gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2]}
+
+        if mode == "rag":
+            passages = retrieval["passages"]
+            q_ids, q_mask = self.retriever_tokenize(queries)
+            p_ids, p_mask = self._tokenize_passage_matrix(passages)
+            g = self._generator_rows(queries, passages, targets)
+            return {
+                "q_ids": jnp.asarray(q_ids), "q_mask": jnp.asarray(q_mask),
+                "passage_ids": jnp.asarray(p_ids),
+                "passage_mask": jnp.asarray(p_mask),
+                "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
+
+        from ..data.prompts import remove_speakers
+
+        post_queries = [f"{remove_speakers(q)} [SEP] {t}"
+                        for q, t in zip(queries, targets)]
+        u_passages = retrieval["u_passages"]
+        post_passages = retrieval["post_passages"]
+        valid = retrieval["valid"]
         q_ids, q_mask = self.retriever_tokenize(queries)
         pq_ids, pq_mask = self.retriever_tokenize(post_queries)
 

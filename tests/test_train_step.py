@@ -248,3 +248,51 @@ def test_evaluate_with_sharded_params(tmp_path, mesh8):
     metrics = evaluate(model, index, params, opt, str(data_path))
     assert "exact_match" in metrics
     assert np.isfinite(metrics["eval_loss"])
+
+
+def test_pipeline_retrieval_matches_sync_when_frozen(tmp_path, mesh8):
+    """--pipeline_retrieval prefetches batch N+1's candidates with
+    pre-step-N params. With the retriever frozen the candidate sets are
+    IDENTICAL to the sync loop's, so the per-step losses must match
+    exactly; with refresh scheduled mid-run the prefetch is invalidated
+    and re-retrieved (still exact)."""
+    import copy
+
+    from jsa_rag_tpu.train.loop import train
+
+    train_file = tmp_path / "train.jsonl"
+    with open(train_file, "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"question": f"what is the value of w{i}",
+                                "answers": [f"w{i}"]}) + "\n")
+
+    def run(pipeline: bool):
+        import random
+
+        random.seed(1234)  # the loop's shuffle draws the global stream
+        opt, store, model, params, *_ = _build(2, n_passages=48)
+        opt.pipeline_retrieval = pipeline
+        opt.freeze_retriever_steps = 100  # candidate selection frozen
+        opt.total_steps = 4
+        opt.log_freq = 1
+        opt.save_freq = 99
+        opt.eval_freq = 99
+        opt.refresh_index = "0-100:3"  # fires at step 3
+        opt.checkpoint_dir = str(tmp_path)
+        opt.name = f"pipe{int(pipeline)}"
+        opt.train_data = [str(train_file)]
+        index = ShardedFlatIndex(mesh8, len(store),
+                                 model.retriever.cfg.bert.hidden,
+                                 dtype=jnp.float32, method="exact")
+        params, specs = setup_params(opt, params, mesh8)
+        tx, _ = set_optim(opt, params)
+        opt_state = init_opt_state(tx, params, specs, mesh8)
+        train(model, index, params, tx, opt_state, opt, mesh=mesh8)
+        with open(os.path.join(str(tmp_path), opt.name,
+                               "metrics.jsonl")) as f:
+            return [json.loads(line)["loss/train_loss"] for line in f]
+
+    sync_losses = run(False)
+    pipe_losses = run(True)
+    assert len(sync_losses) == len(pipe_losses) == 4
+    np.testing.assert_allclose(pipe_losses, sync_losses, rtol=1e-6)
