@@ -585,8 +585,28 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
     next_pos = positions[:, -1] + 1
     done = next_tok == eos_id
 
-    def step(carry, t):
-        tok, lp, pos, mask, cache, done = carry
+    # decode loop: a while_loop (not scan) so the program EXITS as soon as
+    # every row has emitted EOS — the reference's HF generate stops per
+    # batch the same way; a fixed-length scan would burn max_new_tokens
+    # forwards (50x waste for short QA answers under a 256-token budget).
+    # Exit is data-dependent but fully on-device: no host round-trip, no
+    # recompiles, and the pad-initialized buffers make the outputs
+    # BIT-IDENTICAL to the full-length scan (post-EOS slots are pad/0).
+    toks_buf = jnp.full((b, max_new_tokens), pad_id, next_tok.dtype)
+    lps_buf = jnp.zeros((b, max_new_tokens), jnp.float32)
+
+    def cond(carry):
+        t, _, _, _, _, _, _, exit_flag, _, _ = carry
+        return (t < max_new_tokens) & ~exit_flag
+
+    def body(carry):
+        t, tok, lp, pos, mask, cache, done, _, toks_buf, lps_buf = carry
+        # emit the carried token first (tokens after EOS are already pad);
+        # once every row was done BEFORE this write, all later carried
+        # tokens are pad and the loop can stop after this iteration
+        toks_buf = toks_buf.at[:, t].set(tok)
+        lps_buf = lps_buf.at[:, t].set(lp)
+        exit_flag = jnp.all(done)
         mask = mask.at[:, prompt_len + t].set(1)
         logits, cache = _forward_with_cache(
             params, cfg, tok[:, None], mask, pos[:, None], cache,
@@ -609,17 +629,17 @@ def greedy_generate(params: Params, cfg: LMConfig, input_ids,
         new_tok = jnp.where(done, pad_id, new_tok)
         new_lp = jnp.where(done, 0.0, new_lp)  # post-EOS pads score 0
         new_done = done | (new_tok == eos_id)
-        # emit the carried token (tokens generated after EOS are already pad)
-        return (new_tok, new_lp, pos + 1, mask, cache, new_done), (tok, lp)
+        return (t + 1, new_tok, new_lp, pos + 1, mask, cache, new_done,
+                exit_flag, toks_buf, lps_buf)
 
-    _, (toks, lps) = jax.lax.scan(
-        step,
-        (next_tok, next_lp, next_pos, full_mask, cache, done),
-        jnp.arange(max_new_tokens),
-    )
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), next_tok, next_lp, next_pos, full_mask, cache, done,
+         jnp.bool_(False), toks_buf, lps_buf))
+    toks, lps = out[8], out[9]
     if return_logprobs:
-        return toks.T, lps.T  # (B, max_new_tokens) each
-    return toks.T  # (B, max_new_tokens)
+        return toks, lps  # (B, max_new_tokens) each
+    return toks  # (B, max_new_tokens)
 
 
 def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
@@ -627,7 +647,7 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
                   num_beams: int, length_penalty: float = 1.0,
                   min_new_tokens: int = 0,
                   forced_prefix=None, forced_len=None) -> jax.Array:
-    """Beam-search decode (HF-parity semantics) as one ``lax.scan``.
+    """Beam-search decode (HF-parity semantics) as one ``lax.while_loop``.
 
     Replicates transformers' vectorized ``_beam_search`` with
     ``do_sample=False, early_stopping=False`` — the settings the reference
@@ -648,9 +668,11 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
       ``generation_min_length`` counts prompt+generation, which is
       ill-defined under left padding, so the new-token count is used).
 
-    Everything is static-shape: the scan always runs ``max_new_tokens``
-    steps, with per-batch-row masking standing in for HF's early loop exit
-    (a frozen finished set makes the extra steps no-ops).
+    Everything is static-shape: buffers are preallocated at
+    ``max_new_tokens`` and per-batch-row masking freezes each row's
+    finished set once its heuristic is satisfied; the loop EXITS (HF's
+    early loop exit, on-device) when every row is satisfied — the
+    remaining iterations would be provable no-ops.
 
     Cache design: the prompt KV cache is computed once per batch row and
     SHARED by all beams; the per-beam gen cache is write-only and indexed
@@ -694,8 +716,8 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
     unsat = jnp.ones((b,), bool)  # early-stop heuristic not yet satisfied
     top_mask = jnp.arange(k2) < k  # only top-K candidate ranks can finish
 
-    def step(carry, t):
-        logits, run_scores, seqs, fin_seqs, fin_scores, is_fin, unsat, \
+    def step(carry):
+        t, logits, run_scores, seqs, fin_seqs, fin_scores, is_fin, unsat, \
             gen_cache, ancestry = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if min_new_tokens:
@@ -767,12 +789,19 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
             new_is_fin, jnp.min(new_fin_scores, axis=1, keepdims=True), neg)
         new_unsat = unsat & jnp.any(best_possible > worst_fin, axis=1)
 
-        return (new_logits, new_run_scores, new_seqs, new_fin_seqs,
+        return (t + 1, new_logits, new_run_scores, new_seqs, new_fin_seqs,
                 new_fin_scores, new_is_fin, new_unsat, new_gen_cache,
-                new_anc), None
+                new_anc)
 
-    carry = (first_logits, run_scores, seqs, fin_seqs, fin_scores, is_fin,
-             unsat, gen_cache, ancestry)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(t_max))
-    fin_seqs = carry[3]
+    def unfinished(carry):
+        # HF's early loop exit, on-device: once every row's early-stop
+        # heuristic is satisfied (unsat all False) the finished sets are
+        # frozen (`gated` masks on unsat) and the remaining iterations are
+        # provably no-ops — stop paying for them
+        return (carry[0] < t_max) & jnp.any(carry[7])
+
+    carry = (jnp.int32(0), first_logits, run_scores, seqs, fin_seqs,
+             fin_scores, is_fin, unsat, gen_cache, ancestry)
+    carry = jax.lax.while_loop(unfinished, step, carry)
+    fin_seqs = carry[4]
     return fin_seqs[:, 0]  # scores kept sorted desc; beam 0 is the best

@@ -83,6 +83,36 @@ def main():
             except Exception as e:
                 print(f"B={b:3d} {name:7s}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}")
+        # early-exit arm: EOS = the token this model emits most often, so
+        # every row finishes within a few steps — the short-answer QA
+        # regime. Measures the decode while_loop's data-dependent exit
+        # (same program; a fixed-length scan would still pay all
+        # max_new_tokens forwards).
+        try:
+            sample = np.asarray(greedy(params, input_ids=ids,
+                                       attention_mask=mask))
+            vals, counts = np.unique(sample[sample != 0],
+                                     return_counts=True)
+            eos_fast = int(vals[np.argmax(counts)])
+            greedy_fast = jax.jit(partial(
+                greedy_generate, cfg=cfg, max_new_tokens=args.new,
+                eos_id=eos_fast, pad_id=0))
+            out = greedy_fast(params, input_ids=ids, attention_mask=mask)
+            emitted = float((np.asarray(out) != 0).sum(-1).mean())
+            iters = 4
+            t0 = time.time()
+            carry = jnp.zeros((), jnp.int32)
+            for _ in range(iters):
+                out = greedy_fast(params, input_ids=ids + carry * 0,
+                                  attention_mask=mask)
+                carry = carry + out[0, 0] * 0
+            np.asarray(carry)
+            dt = (time.time() - t0 - 0.026) / iters
+            print(f"B={b:3d} greedy-earlyexit: {dt*1e3:8.1f} ms "
+                  f"(avg {emitted:.1f} emitted of {args.new} budget)")
+        except Exception as e:
+            print(f"B={b:3d} greedy-earlyexit: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

@@ -470,3 +470,63 @@ def test_greedy_logprobs_match_rescoring():
             want = float(logp[i, p + t - 1, toks[i, t]])
             np.testing.assert_allclose(lps[i, t], want, rtol=1e-4,
                                        atol=1e-5)
+
+
+def test_greedy_early_exit_budget_invariance(lm_params):
+    """The while_loop decode exits once every row has emitted EOS; the
+    pad-initialized output buffers must make a huge budget's output equal
+    a small budget's output plus pad columns (the early-exit path cannot
+    change WHAT is generated, only how many iterations run)."""
+    rng = np.random.default_rng(11)
+    b, p = 3, 6
+    ids = jnp.asarray(rng.integers(4, 100, (b, p)), jnp.int32)
+    mask = jnp.ones((b, p), jnp.int32)
+    # pick the EOS id each row actually emits so every row finishes fast:
+    # decode once with no EOS, take the most frequent token
+    free = np.asarray(greedy_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=8, eos_id=-1, pad_id=0))
+    vals, counts = np.unique(free, return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+
+    small = np.asarray(greedy_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=8, eos_id=eos, pad_id=0))
+    big = np.asarray(greedy_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=64, eos_id=eos, pad_id=0))
+    if (small == eos).any(axis=1).all():
+        # every row finished within the small budget -> identical prefix,
+        # pad tail (this is the early-exit regime)
+        np.testing.assert_array_equal(big[:, :8], small)
+        assert (big[:, 8:] == 0).all()
+    else:  # fallback: prefix must still agree
+        np.testing.assert_array_equal(big[:, :8][small != 0],
+                                      small[small != 0])
+
+
+def test_beam_early_exit_budget_invariance(lm_params):
+    """Beam search's on-device early loop exit (all rows' HF early-stop
+    heuristic satisfied) must not change the selected hypotheses: a large
+    budget returns the small budget's best beams plus pad columns,
+    whenever every row finished within the small budget."""
+    from jsa_rag_tpu.models.lm import beam_generate
+
+    rng = np.random.default_rng(12)
+    b, p = 2, 5
+    ids = jnp.asarray(rng.integers(4, 100, (b, p)), jnp.int32)
+    mask = jnp.ones((b, p), jnp.int32)
+    free = np.asarray(greedy_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=10, eos_id=-1, pad_id=0))
+    vals, counts = np.unique(free, return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+
+    kw = dict(eos_id=eos, pad_id=0, num_beams=3, length_penalty=1.0)
+    small = np.asarray(beam_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=10, **kw))
+    has_eos = (small == eos).any(axis=1)
+    big = np.asarray(beam_generate(
+        lm_params, TINY, ids, mask, max_new_tokens=48, **kw))
+    if has_eos.all():
+        np.testing.assert_array_equal(big[:, :10], small)
+        assert (big[:, 10:] == 0).all()
+    else:
+        rows = np.where(has_eos)[0]
+        np.testing.assert_array_equal(big[rows, :10], small[rows])
