@@ -223,12 +223,15 @@ def train(
             # is not (config.pipeline_retrieval).
             next_batch = next(batches_it, None)
             prefetched = None
-            if opt.pipeline_retrieval and next_batch is not None:
+            if (opt.pipeline_retrieval and next_batch is not None
+                    and step < opt.total_steps):
                 t0 = time.time()
                 with jax.profiler.TraceAnnotation("prefetch_retrieve"):
+                    # iter_stats flows in so runtime/search etc. keep
+                    # appearing in metrics under the pipelined loop
                     prefetched = (model.retrieval_ctx(
                         mode, index, params, next_batch["query"],
-                        next_batch["target"],
+                        next_batch["target"], iter_stats,
                         file_passages=next_batch.get("passages"),
                         batch_metadata=next_batch.get("metadata"),
                         filtering_fun=filt), index_version)
@@ -335,6 +338,7 @@ def train(
                     np.array([stop_now], np.int32))))
             if stop_now:
                 drain_pending()
+                _flush_metrics(metrics_log, step, run_stats)
                 # preemption: checkpoint and exit cleanly; a restart with
                 # --model_path <run dir> resumes from here (all processes
                 # enter: the host fetch is collective, writes rank-0)
@@ -354,11 +358,23 @@ def train(
                 break
             batch = next_batch
     drain_pending()
+    _flush_metrics(metrics_log, step, run_stats)
     if metrics_log is not None:
         metrics_log.close()
     if tb is not None:
         tb.close()
     return params, opt_state, step
+
+
+def _flush_metrics(metrics_log, step: int, run_stats) -> None:
+    """Write any partial stats window (deferred sync means the last steps
+    may not have hit a log boundary) before closing/returning."""
+    avg = run_stats.average_stats
+    if metrics_log is not None and avg:
+        metrics_log.write(json.dumps(
+            {"step": step, **{k: float(v) for k, v in avg.items()}}) + "\n")
+        metrics_log.flush()
+    run_stats.reset()
 
 
 def _maybe_tb_writer(path: str):

@@ -451,8 +451,10 @@ class RAGModel:
                 "prior_retrieved_texts": [p.get("text", "")
                                           for p in prior_passages[0]],
             })
+        # post_queries travel in the ctx so retrieval (here) and posterior
+        # tokenization (build_batch) can never drift apart
         ctx.update(u_passages=u_passages, post_passages=post_passages,
-                   valid=valid)
+                   valid=valid, post_queries=post_queries)
         return ctx
 
     def build_batch(self, mode: str, index, params, queries, targets,
@@ -489,10 +491,7 @@ class RAGModel:
                 "gen_ids": g[0], "gen_labels": g[1], "gen_mask": g[2],
             }
 
-        from ..data.prompts import remove_speakers
-
-        post_queries = [f"{remove_speakers(q)} [SEP] {t}"
-                        for q, t in zip(queries, targets)]
+        post_queries = retrieval["post_queries"]
         u_passages = retrieval["u_passages"]
         post_passages = retrieval["post_passages"]
         valid = retrieval["valid"]

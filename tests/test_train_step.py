@@ -256,8 +256,6 @@ def test_pipeline_retrieval_matches_sync_when_frozen(tmp_path, mesh8):
     IDENTICAL to the sync loop's, so the per-step losses must match
     exactly; with refresh scheduled mid-run the prefetch is invalidated
     and re-retrieved (still exact)."""
-    import copy
-
     from jsa_rag_tpu.train.loop import train
 
     train_file = tmp_path / "train.jsonl"
