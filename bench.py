@@ -189,6 +189,28 @@ def main():
     }))
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """One trivial jitted matmul in a child process under a short timeout.
+    When the axon relay is down, device ops (and sometimes ``import jax``
+    itself, via the sitecustomize plugin) hang rather than fail — a cheap
+    probe distinguishes "relay wedged" from "measurement slow" before any
+    full-deadline attempt is spent."""
+    import os
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.jit(lambda x: (x @ x.T).sum())"
+            "(jnp.ones((128, 128))).block_until_ready()")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], env=dict(os.environ),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=timeout_s).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_guarded() -> None:
     """Run ``main()`` in a child under a deadline; retry once; fall back to
     a CPU measurement (JAX_PLATFORMS=cpu, small N) if the accelerator path
@@ -196,10 +218,27 @@ def _run_guarded() -> None:
     import os
     import subprocess
     import sys
+    import time as _time
 
     deadline = int(os.environ.get("BENCH_DEADLINE", 1500))
     attempts = [({}, deadline), ({}, deadline),
                 ({"JAX_PLATFORMS": "cpu", "BENCH_CPU_FALLBACK": "1"}, 600)]
+    # Probe-gate the device attempts: if the relay is wedged, wait it out
+    # for up to BENCH_TPU_WAIT seconds (re-probing every 5 min) instead of
+    # burning two full deadlines on hung children; if it never recovers,
+    # jump straight to the CPU fallback.
+    wait_budget = int(os.environ.get("BENCH_TPU_WAIT", 1200))
+    t0 = _time.time()
+    while not _probe_device():
+        waited = _time.time() - t0
+        if waited >= wait_budget:
+            print(f"# device probe still failing after {waited:.0f}s; "
+                  "skipping to CPU fallback", file=sys.stderr)
+            attempts = attempts[-1:]
+            break
+        print(f"# device probe failed ({waited:.0f}s/{wait_budget}s); "
+              "relay may be wedged — waiting", file=sys.stderr)
+        _time.sleep(min(300, wait_budget - waited + 1))
     for extra_env, limit in attempts:
         env = {**os.environ, "BENCH_CHILD": "1", **extra_env}
         try:
