@@ -189,12 +189,15 @@ def main():
     }))
 
 
-def _probe_device(timeout_s: int = 120) -> bool:
+def _probe_device(timeout_s: int = 120) -> str:
     """One trivial jitted matmul in a child process under a short timeout.
     When the axon relay is down, device ops (and sometimes ``import jax``
     itself, via the sitecustomize plugin) hang rather than fail — a cheap
     probe distinguishes "relay wedged" from "measurement slow" before any
-    full-deadline attempt is spent."""
+    full-deadline attempt is spent. Returns ``"ok"``, ``"hang"`` (timed
+    out — the wedge signature, worth waiting out) or ``"error"`` (fast
+    non-zero exit — waiting won't help; let the normal attempts fail fast
+    into the CPU fallback)."""
     import os
     import subprocess
     import sys
@@ -203,12 +206,13 @@ def _probe_device(timeout_s: int = 120) -> bool:
             "jax.jit(lambda x: (x @ x.T).sum())"
             "(jnp.ones((128, 128))).block_until_ready()")
     try:
-        return subprocess.run(
+        rc = subprocess.run(
             [sys.executable, "-c", code], env=dict(os.environ),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            timeout=timeout_s).returncode == 0
+            timeout=timeout_s).returncode
+        return "ok" if rc == 0 else "error"
     except subprocess.TimeoutExpired:
-        return False
+        return "hang"
 
 
 def _run_guarded() -> None:
@@ -229,16 +233,23 @@ def _run_guarded() -> None:
     # jump straight to the CPU fallback.
     wait_budget = int(os.environ.get("BENCH_TPU_WAIT", 1200))
     t0 = _time.time()
-    while not _probe_device():
+    while (status := _probe_device()) != "ok":
+        if status == "error":
+            # fast hard failure (bad driver/device state, not a wedge):
+            # the device attempts below will fail fast too and fall
+            # through to the CPU measurement — don't burn the wait budget
+            print("# device probe exited non-zero; proceeding without "
+                  "waiting", file=sys.stderr)
+            break
         waited = _time.time() - t0
         if waited >= wait_budget:
-            print(f"# device probe still failing after {waited:.0f}s; "
+            print(f"# device probe still hanging after {waited:.0f}s; "
                   "skipping to CPU fallback", file=sys.stderr)
             attempts = attempts[-1:]
             break
-        print(f"# device probe failed ({waited:.0f}s/{wait_budget}s); "
+        print(f"# device probe hung ({waited:.0f}s/{wait_budget}s); "
               "relay may be wedged — waiting", file=sys.stderr)
-        _time.sleep(min(300, wait_budget - waited + 1))
+        _time.sleep(min(300, max(1.0, wait_budget - waited)))
     for extra_env, limit in attempts:
         env = {**os.environ, "BENCH_CHILD": "1", **extra_env}
         try:

@@ -62,6 +62,11 @@ class _SearchBatcher:
         # bounded waits so a dead worker thread can never hang the caller
         while not item["done"].wait(timeout=1.0):
             if not self._thread.is_alive():
+                # the worker may have delivered this item (dispatch or
+                # shutdown drain) in the gap between the wait timing out
+                # and the liveness check — re-check before raising
+                if item["done"].is_set():
+                    break
                 raise RuntimeError("search batcher worker died")
         if "err" in item:
             raise item["err"]

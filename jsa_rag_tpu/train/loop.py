@@ -279,14 +279,7 @@ def train(
                 if "accept_rate" in avg:
                     log += f" | accept_rate:{avg['accept_rate']:.3f}"
                 logger.info(log)
-                if metrics_log is not None:
-                    metrics_log.write(json.dumps(
-                        {"step": step,
-                         **{k: float(v) for k, v in avg.items()}}) + "\n")
-                    metrics_log.flush()
-                if tb is not None:
-                    for k, v in avg.items():
-                        tb.add_scalar(k, float(v), step)
+                _write_metrics(metrics_log, tb, step, avg)
                 run_stats.reset()
 
             if evaluate_fn is not None and step % opt.eval_freq == 0:
@@ -338,7 +331,7 @@ def train(
                     np.array([stop_now], np.int32))))
             if stop_now:
                 drain_pending()
-                _flush_metrics(metrics_log, step, run_stats)
+                _flush_metrics(metrics_log, tb, step, run_stats)
                 # preemption: checkpoint and exit cleanly; a restart with
                 # --model_path <run dir> resumes from here (all processes
                 # enter: the host fetch is collective, writes rank-0)
@@ -358,7 +351,7 @@ def train(
                 break
             batch = next_batch
     drain_pending()
-    _flush_metrics(metrics_log, step, run_stats)
+    _flush_metrics(metrics_log, tb, step, run_stats)
     if metrics_log is not None:
         metrics_log.close()
     if tb is not None:
@@ -366,14 +359,21 @@ def train(
     return params, opt_state, step
 
 
-def _flush_metrics(metrics_log, step: int, run_stats) -> None:
-    """Write any partial stats window (deferred sync means the last steps
-    may not have hit a log boundary) before closing/returning."""
-    avg = run_stats.average_stats
+def _write_metrics(metrics_log, tb, step: int, avg: dict) -> None:
+    """One stats window -> metrics.jsonl line + TensorBoard scalars."""
     if metrics_log is not None and avg:
         metrics_log.write(json.dumps(
             {"step": step, **{k: float(v) for k, v in avg.items()}}) + "\n")
         metrics_log.flush()
+    if tb is not None:
+        for k, v in avg.items():
+            tb.add_scalar(k, float(v), step)
+
+
+def _flush_metrics(metrics_log, tb, step: int, run_stats) -> None:
+    """Write any partial stats window (deferred sync means the last steps
+    may not have hit a log boundary) before closing/returning."""
+    _write_metrics(metrics_log, tb, step, run_stats.average_stats)
     run_stats.reset()
 
 

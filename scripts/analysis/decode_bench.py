@@ -19,6 +19,23 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _chained_time(fn, params, ids, mask, iters: int = 4) -> float:
+    """Per-call seconds via chained data-dependent iterations (the axon
+    tunnel makes per-call block_until_ready unreliable — see bench.py);
+    the ~26 ms fixed host-fetch overhead is subtracted once and the
+    result floored at a microsecond so short early-exit decodes can't
+    print negative times."""
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    carry = jnp.zeros((), jnp.int32)
+    for _ in range(iters):
+        out = fn(params, input_ids=ids + carry * 0, attention_mask=mask)
+        carry = carry + out[0, 0] * 0
+    np.asarray(carry)
+    return max((time.time() - t0 - 0.026) / iters, 1e-6)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=16)
@@ -63,19 +80,9 @@ def main():
         mask = jnp.ones((b, args.prompt), jnp.int32)
         for name, fn in [("greedy", greedy), (f"beam{args.beams}", beam)]:
             try:
-                # chained timing: the axon tunnel makes per-call
-                # block_until_ready unreliable (see bench.py)
                 out = fn(params, input_ids=ids, attention_mask=mask)
                 np.asarray(out)  # warm
-                iters = 4
-                t0 = time.time()
-                carry = jnp.zeros((), jnp.int32)
-                for _ in range(iters):
-                    out = fn(params, input_ids=ids + carry * 0,
-                             attention_mask=mask)
-                    carry = carry + out[0, 0] * 0
-                np.asarray(carry)
-                dt = (time.time() - t0 - 0.026) / iters
+                dt = _chained_time(fn, params, ids, mask)
                 tps = b * args.new / dt
                 print(f"B={b:3d} {name:7s}: {dt*1e3:8.1f} ms "
                       f"({dt*1e3/args.new:6.2f} ms/tok) -> "
@@ -99,15 +106,7 @@ def main():
                 eos_id=eos_fast, pad_id=0))
             out = greedy_fast(params, input_ids=ids, attention_mask=mask)
             emitted = float((np.asarray(out) != 0).sum(-1).mean())
-            iters = 4
-            t0 = time.time()
-            carry = jnp.zeros((), jnp.int32)
-            for _ in range(iters):
-                out = greedy_fast(params, input_ids=ids + carry * 0,
-                                  attention_mask=mask)
-                carry = carry + out[0, 0] * 0
-            np.asarray(carry)
-            dt = (time.time() - t0 - 0.026) / iters
+            dt = _chained_time(greedy_fast, params, ids, mask)
             print(f"B={b:3d} greedy-earlyexit: {dt*1e3:8.1f} ms "
                   f"(avg {emitted:.1f} emitted of {args.new} budget)")
         except Exception as e:
