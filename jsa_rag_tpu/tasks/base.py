@@ -66,11 +66,15 @@ class BaseTask:
 
     @staticmethod
     def batch_iterator(data_iterator, batch_size, drop_last=False,
-                       shuffle=False, shuffle_buffer_size=65536):
-        """Dict-of-lists batching (src/tasks/base.py:50-66)."""
+                       shuffle=False, shuffle_buffer_size=65536,
+                       shuffle_seed=None):
+        """Dict-of-lists batching (src/tasks/base.py:50-66).
+        ``shuffle_seed`` makes the epoch's data order reproducible (the
+        reference seeds all host RNGs from opt.seed, train.py:397)."""
         if shuffle:
             data_iterator = BaseTask.shuffle_iterator(
-                data_iterator, buffer_size=shuffle_buffer_size)
+                data_iterator, buffer_size=shuffle_buffer_size,
+                seed=shuffle_seed)
         batch = defaultdict(list)
         batch["__size__"] = 0
         yielded = 0

@@ -148,9 +148,14 @@ def train(
             opt.train_data, jax.process_index(), jax.process_count(),
             repeat_if_less_than_world_size=True, opt=opt)
         data_iterator = filter(None, map(task.process, data_iterator))
+        # per-(seed, epoch, rank) shuffle seed: reproducible data order
+        # across runs (reference seeds host RNGs from opt.seed), distinct
+        # mixing per epoch and per process shard
         batches = task.batch_iterator(
             data_iterator, batch_rows, drop_last=True, shuffle=True,
-            shuffle_buffer_size=opt.shuffle_buffer_size)
+            shuffle_buffer_size=opt.shuffle_buffer_size,
+            shuffle_seed=(opt.seed * 1_000_003 + epoch * 9_973
+                          + jax.process_index()))
         batches_it = iter(batches)
         batch = next(batches_it, None)
         # --pipeline_retrieval: (retrieval ctx for `batch`, index version
