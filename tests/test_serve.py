@@ -174,3 +174,71 @@ def test_concurrent_retrieves_coalesce(server):
     assert len(calls) <= 2, calls
     assert all((b & (b - 1)) == 0 and b >= 8 for b, _ in calls), calls
     assert all((k & (k - 1)) == 0 for _, k in calls), calls
+
+
+def test_batcher_delivered_result_survives_worker_death():
+    """Regression: a result delivered in the gap between the caller's
+    bounded wait timing out and its thread-liveness check must be
+    returned, not turned into 'worker died'. Simulated deterministically:
+    a dead worker, an Event whose first bounded wait times out but whose
+    is_set() reflects delivery, and delivery happening at enqueue time."""
+    import threading
+
+    from jsa_rag_tpu.serve.server import _SearchBatcher
+
+    b = _SearchBatcher.__new__(_SearchBatcher)  # no real worker thread
+    b._lock = threading.Lock()
+    b._stop = False
+    b._kick = threading.Event()
+
+    class _DeadThread:
+        def is_alive(self):
+            return False
+
+    b._thread = _DeadThread()
+
+    class _DeliveringList(list):
+        # the "worker" delivers the moment the item is enqueued
+        def append(self, item):
+            item["scores"] = np.full((1, 2), 7.0)
+            item["ids"] = np.arange(2)[None]
+            item["done"] = _TimedOutOnceEvent(item["done"])
+            super().append(item)
+
+    class _TimedOutOnceEvent:
+        # first wait() times out (returns False); is_set() sees delivery
+        def __init__(self, real):
+            self._real = real
+            self._waits = 0
+
+        def wait(self, timeout=None):
+            self._waits += 1
+            return self._waits > 1
+
+        def is_set(self):
+            return True
+
+    b._pending = _DeliveringList()
+    scores, ids = b.search(np.zeros((1, 4), np.float32), 2)
+    assert scores[0, 0] == 7.0 and list(ids[0]) == [0, 1]
+
+
+def test_batcher_worker_death_without_delivery_raises():
+    """A dead worker with NO delivered result must raise promptly."""
+    import threading
+
+    from jsa_rag_tpu.serve.server import _SearchBatcher
+
+    b = _SearchBatcher.__new__(_SearchBatcher)
+    b._lock = threading.Lock()
+    b._stop = False
+    b._kick = threading.Event()
+
+    class _DeadThread:
+        def is_alive(self):
+            return False
+
+    b._thread = _DeadThread()
+    b._pending = []
+    with pytest.raises(RuntimeError, match="worker died"):
+        b.search(np.zeros((1, 4), np.float32), 2)
