@@ -21,10 +21,58 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
 from typing import Any
 
 import jax
 import numpy as np
+
+
+class _AsyncWriter:
+    """Single background checkpoint writer (at most one write in flight).
+
+    The expensive device→host fetch is collective and must stay on the
+    caller thread; only the disk IO (pickle dump, tokenizer/options json,
+    symlink flip) moves here, so a save stalls the step loop for the
+    fetch alone instead of fetch+write. ``submit`` joins any previous
+    write first (ordering: ``latest`` can never point at a step whose
+    write raced a newer one); a failed write re-raises on the next
+    submit/join so errors are not silently dropped."""
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
+
+    def submit(self, fn) -> None:
+        self.join()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on next join
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=run, name="ckpt-writer", daemon=False)
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+_writer = _AsyncWriter()
+
+
+def wait_for_writes() -> None:
+    """Block until any in-flight async checkpoint write completes
+    (re-raising its error). Call before process exit / returning from
+    train() so a crash can't truncate the newest checkpoint."""
+    _writer.join()
 
 
 def _to_host(tree):
@@ -51,12 +99,18 @@ def _to_host(tree):
 def save_checkpoint(path: str, name: str, step: int, params: dict,
                     opt_state: Any = None, options: Any = None,
                     tokenizer: Any = None,
-                    retriever_tokenizer: Any = None) -> str:
+                    retriever_tokenizer: Any = None,
+                    block: bool = True) -> str:
     """Write step dir + repoint ``latest``. Returns the step dir path.
 
     Multi-process: call on ALL processes (the host fetch is collective for
     cross-host-sharded leaves, e.g. --shard_optim state); file writes
-    happen on process 0 only."""
+    happen on process 0 only.
+
+    ``block=False`` runs the disk IO on a background writer thread (the
+    host fetch always happens inline — it is collective and owns device
+    order). The step loop then only pays the fetch; call
+    :func:`wait_for_writes` before process exit."""
     run_dir = os.path.join(path, name)
     step_dir = os.path.join(run_dir, f"step-{step}")
     state = {"step": step, "params": _to_host(params)}
@@ -64,17 +118,31 @@ def save_checkpoint(path: str, name: str, step: int, params: dict,
         state["opt_state"] = _to_host(opt_state)
     if jax.process_index() != 0:
         return step_dir
-    os.makedirs(step_dir, exist_ok=True)
-    with open(os.path.join(step_dir, "state.pkl"), "wb") as f:
-        pickle.dump(state, f, protocol=4)
-    if options is not None:
-        options.dump(os.path.join(step_dir, "options.json"))
-    for tok, fname in ((tokenizer, "tokenizer.json"),
-                       (retriever_tokenizer, "retriever_tokenizer.json")):
-        if tok is not None and hasattr(tok, "to_dict"):
-            with open(os.path.join(step_dir, fname), "w") as f:
-                json.dump(tok.to_dict(), f)
-    symlink_force(f"step-{step}", os.path.join(run_dir, "latest"))
+
+    def write():
+        os.makedirs(step_dir, exist_ok=True)
+        # tmp + rename: a crash mid-write can't leave a truncated
+        # state.pkl behind a step dir that a resume might target
+        tmp = os.path.join(step_dir, f".state.pkl.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f, protocol=4)
+        os.replace(tmp, os.path.join(step_dir, "state.pkl"))
+        if options is not None:
+            options.dump(os.path.join(step_dir, "options.json"))
+        for tok, fname in ((tokenizer, "tokenizer.json"),
+                           (retriever_tokenizer,
+                            "retriever_tokenizer.json")):
+            if tok is not None and hasattr(tok, "to_dict"):
+                with open(os.path.join(step_dir, fname), "w") as f:
+                    json.dump(tok.to_dict(), f)
+        # flip latest only after every artifact of the step is on disk
+        symlink_force(f"step-{step}", os.path.join(run_dir, "latest"))
+
+    if block:
+        _writer.join()  # never reorder behind an in-flight async write
+        write()
+    else:
+        _writer.submit(write)
     return step_dir
 
 

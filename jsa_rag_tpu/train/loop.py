@@ -25,7 +25,7 @@ from ..config import Options
 from ..tasks import get_task
 from ..utils.schedulers import IndexRefreshScheduler
 from ..utils.stats import WeightedAvgStats
-from .checkpoint import export_retriever, save_checkpoint
+from .checkpoint import export_retriever, save_checkpoint, wait_for_writes
 from .rag_model import RAGModel
 
 logger = logging.getLogger(__name__)
@@ -313,12 +313,15 @@ def train(
             if step % opt.save_freq == 0:
                 # all processes: the host fetch inside is collective for
                 # cross-host-sharded leaves (shard_optim); writes are
-                # process-0-only inside save_checkpoint
+                # process-0-only inside save_checkpoint and run on a
+                # background writer (block=False) so the step loop pays
+                # only the fetch — wait_for_writes() runs before returning
                 save_checkpoint(opt.checkpoint_dir, opt.name, step, params,
                                 opt_state if opt.save_optimizer else None,
                                 options=opt,
                                 tokenizer=model.generator_tokenizer,
-                                retriever_tokenizer=model.retriever_tokenizer)
+                                retriever_tokenizer=model.retriever_tokenizer,
+                                block=False)
                 export_retriever(checkpoint_path, step,
                                  params["retriever"],
                                  tokenizer=model.retriever_tokenizer)
@@ -350,6 +353,7 @@ def train(
                                 step)
                 if metrics_log is not None:
                     metrics_log.close()
+                wait_for_writes()
                 return params, opt_state, step
 
             if step >= opt.total_steps:
@@ -361,6 +365,7 @@ def train(
         metrics_log.close()
     if tb is not None:
         tb.close()
+    wait_for_writes()
     return params, opt_state, step
 
 

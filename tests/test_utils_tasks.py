@@ -267,6 +267,37 @@ def test_checkpoint_roundtrip(tmp_path):
     assert os.path.islink(tmp_path / "bge_query_Embedding_Ret" / "lastest")
 
 
+def test_checkpoint_async_write(tmp_path):
+    """block=False: the disk write lands on the background writer; after
+    wait_for_writes the checkpoint is complete, loadable, and `latest`
+    points at the newest step. A failing write surfaces on join, and the
+    writer recovers for the next save."""
+    from jsa_rag_tpu.train import checkpoint as ck
+
+    params = {"generator": {"w": jnp.arange(3.0)}}
+    ck.save_checkpoint(str(tmp_path), "run", 1, params, block=False)
+    ck.save_checkpoint(str(tmp_path), "run", 2, params, block=False)
+    ck.wait_for_writes()
+    state = ck.load_checkpoint(str(tmp_path / "run"))
+    assert state["step"] == 2
+    assert os.readlink(tmp_path / "run" / "latest") == "step-2"
+    # no tmp litter from the rename dance
+    assert not [p for p in os.listdir(tmp_path / "run" / "step-2")
+                if p.startswith(".state")]
+
+    class _Boom:
+        def dump(self, path):
+            raise IOError("disk full")
+
+    ck.save_checkpoint(str(tmp_path), "run", 3, params, options=_Boom(),
+                       block=False)
+    with pytest.raises(IOError, match="disk full"):
+        ck.wait_for_writes()
+    # writer usable again; a blocking save joins the (now clean) writer
+    ck.save_checkpoint(str(tmp_path), "run", 4, params, block=True)
+    assert ck.load_checkpoint(str(tmp_path / "run"))["step"] == 4
+
+
 def test_train_resume_continues_step(tmp_path):
     """Checkpoint/resume: restoring from latest continues the step count
     with matching tokenizer ids (reference: load_or_initialize_atlas_model
