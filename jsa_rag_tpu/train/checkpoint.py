@@ -194,7 +194,8 @@ def symlink_force(target: str, link: str) -> None:
 
 
 def export_retriever(path: str, step: int, retriever_params: dict,
-                     tokenizer: Any = None, prefix: str = "bge") -> None:
+                     tokenizer: Any = None, prefix: str = "bge",
+                     block: bool = True) -> None:
     """Standalone query/passage tower export + ``lastest`` symlink
     (train.py:335-372 exports ``bge_{passage,query}_Embedding_Ret/step-N``
     with a ``lastest`` symlink for the gRPC rebuild service — name kept for
@@ -202,19 +203,33 @@ def export_retriever(path: str, step: int, retriever_params: dict,
 
     ALL processes must call this (the host fetch is collective for leaves
     sharded across hosts, e.g. FSDP params); files are written by
-    process 0 only."""
-    for tower in ("query", "passage", "shared"):
-        if tower not in retriever_params:
-            continue
-        host_tower = _to_host(retriever_params[tower])
-        if jax.process_index() != 0:
-            continue
-        tower_root = os.path.join(path, f"{prefix}_{tower}_Embedding_Ret")
-        step_dir = os.path.join(tower_root, f"step-{step}")
-        os.makedirs(step_dir, exist_ok=True)
-        with open(os.path.join(step_dir, "params.pkl"), "wb") as f:
-            pickle.dump(host_tower, f, protocol=4)
-        if tokenizer is not None and hasattr(tokenizer, "to_dict"):
-            with open(os.path.join(step_dir, "tokenizer.json"), "w") as f:
-                json.dump(tokenizer.to_dict(), f)
-        symlink_force(f"step-{step}", os.path.join(tower_root, "lastest"))
+    process 0 only. ``block=False`` moves the disk IO to the shared
+    background checkpoint writer (fetch stays inline)."""
+    host = {tower: _to_host(retriever_params[tower])
+            for tower in ("query", "passage", "shared")
+            if tower in retriever_params}
+    if jax.process_index() != 0:
+        return
+
+    def write():
+        for tower, host_tower in host.items():
+            tower_root = os.path.join(path,
+                                      f"{prefix}_{tower}_Embedding_Ret")
+            step_dir = os.path.join(tower_root, f"step-{step}")
+            os.makedirs(step_dir, exist_ok=True)
+            tmp = os.path.join(step_dir, f".params.pkl.tmp.{os.getpid()}")
+            with open(tmp, "wb") as f:
+                pickle.dump(host_tower, f, protocol=4)
+            os.replace(tmp, os.path.join(step_dir, "params.pkl"))
+            if tokenizer is not None and hasattr(tokenizer, "to_dict"):
+                with open(os.path.join(step_dir, "tokenizer.json"),
+                          "w") as f:
+                    json.dump(tokenizer.to_dict(), f)
+            symlink_force(f"step-{step}", os.path.join(tower_root,
+                                                       "lastest"))
+
+    if block:
+        _writer.join()
+        write()
+    else:
+        _writer.submit(write)

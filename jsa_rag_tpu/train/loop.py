@@ -308,7 +308,8 @@ def train(
                 # host fetch is collective); writes are process-0-only
                 export_retriever(checkpoint_path, step,
                                  params["retriever"],
-                                 tokenizer=model.retriever_tokenizer)
+                                 tokenizer=model.retriever_tokenizer,
+                                 block=False)
 
             if step % opt.save_freq == 0:
                 # all processes: the host fetch inside is collective for
@@ -324,7 +325,8 @@ def train(
                                 block=False)
                 export_retriever(checkpoint_path, step,
                                  params["retriever"],
-                                 tokenizer=model.retriever_tokenizer)
+                                 tokenizer=model.retriever_tokenizer,
+                                 block=False)
 
             stop_now = stop_requested["flag"]
             if jax.process_count() > 1:

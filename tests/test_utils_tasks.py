@@ -297,6 +297,13 @@ def test_checkpoint_async_write(tmp_path):
     ck.save_checkpoint(str(tmp_path), "run", 4, params, block=True)
     assert ck.load_checkpoint(str(tmp_path / "run"))["step"] == 4
 
+    # async tower export rides the same writer
+    ck.export_retriever(str(tmp_path), 4,
+                        {"query": {"w": jnp.ones(2)}}, block=False)
+    ck.wait_for_writes()
+    assert os.readlink(
+        tmp_path / "bge_query_Embedding_Ret" / "lastest") == "step-4"
+
 
 def test_train_resume_continues_step(tmp_path):
     """Checkpoint/resume: restoring from latest continues the step count
