@@ -29,40 +29,56 @@ import numpy as np
 
 
 class _AsyncWriter:
-    """Single background checkpoint writer (at most one write in flight).
+    """FIFO background checkpoint writer.
 
     The expensive device→host fetch is collective and must stay on the
     caller thread; only the disk IO (pickle dump, tokenizer/options json,
     symlink flip) moves here, so a save stalls the step loop for the
-    fetch alone instead of fetch+write. ``submit`` joins any previous
-    write first (ordering: ``latest`` can never point at a step whose
-    write raced a newer one); a failed write re-raises on the next
-    submit/join so errors are not silently dropped."""
+    fetch alone instead of fetch+write. ``submit`` never blocks: writes
+    queue and run in submission order on one worker thread (so ``latest``
+    can never point at a step whose write raced a newer one). The worker
+    exits when drained — a non-daemon thread can't hold the interpreter
+    open between saves. The first failed write's error re-raises on the
+    next ``join`` so errors are not silently dropped."""
 
     def __init__(self):
+        import collections
+
+        self._jobs = collections.deque()
+        self._cv = threading.Condition()
         self._thread: threading.Thread | None = None
         self._err: BaseException | None = None
 
     def submit(self, fn) -> None:
-        self.join()
+        with self._cv:
+            self._jobs.append(fn)
+            if self._thread is None:  # cleared under the lock in _run
+                self._thread = threading.Thread(
+                    target=self._run, name="ckpt-writer", daemon=False)
+                self._thread.start()
 
-        def run():
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                if not self._jobs:
+                    self._thread = None
+                    self._cv.notify_all()
+                    return
+                fn = self._jobs.popleft()
             try:
                 fn()
             except BaseException as e:  # surfaced on next join
-                self._err = e
-
-        self._thread = threading.Thread(
-            target=run, name="ckpt-writer", daemon=False)
-        self._thread.start()
+                with self._cv:
+                    if self._err is None:
+                        self._err = e
 
     def join(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+        with self._cv:
+            while self._jobs or self._thread is not None:
+                self._cv.wait(timeout=0.1)
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
 
 
 _writer = _AsyncWriter()
@@ -110,7 +126,14 @@ def save_checkpoint(path: str, name: str, step: int, params: dict,
     ``block=False`` runs the disk IO on a background writer thread (the
     host fetch always happens inline — it is collective and owns device
     order). The step loop then only pays the fetch; call
-    :func:`wait_for_writes` before process exit."""
+    :func:`wait_for_writes` before process exit.
+
+    Memory shape: the fetch happens BEFORE joining any in-flight write,
+    so peak host RAM at a save boundary is one in-flight snapshot plus
+    the new one. Joining first would bound this to one snapshot but a
+    deferred write error would then raise on process 0 before the
+    collective fetch, hanging the other processes inside it — fetch
+    first is the multi-process-safe order."""
     run_dir = os.path.join(path, name)
     step_dir = os.path.join(run_dir, f"step-{step}")
     state = {"step": step, "params": _to_host(params)}
@@ -212,7 +235,8 @@ def export_retriever(path: str, step: int, retriever_params: dict,
         return
 
     def write():
-        for tower, host_tower in host.items():
+        for tower in list(host):
+            host_tower = host.pop(tower)  # free as written
             tower_root = os.path.join(path,
                                       f"{prefix}_{tower}_Embedding_Ret")
             step_dir = os.path.join(tower_root, f"step-{step}")
