@@ -163,21 +163,28 @@ def main():
     # reference — headline/floor is comparable across rounds even when
     # absolute numbers move
     @jax.jit
-    def matmul_only(q):
+    def matmul_only(q, et_):
         # the scoring matmul + a row-max epilogue (stable reference
         # program; a bare (B, N) f32 output would add a 2.7 GB HBM write
         # the fused kernel never does). Must be JITTED: eager dispatch
         # runs the dot and the max as separate programs, materializing
-        # exactly that (B, N) write and halving the reported floor
+        # exactly that (B, N) write and halving the reported floor.
+        # The index is an ARGUMENT, not a closure: a closed-over device
+        # array is lowered as a captured constant, i.e. a 2.66 GB upload
+        # through the tunnel at compile time — the r3 deadline killer.
         s = jax.lax.dot_general(
-            q, et, dimension_numbers=(((1,), (0,)), ((), ())),
+            q, et_, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return jnp.max(s, axis=1, keepdims=True), None
 
-    floor_qps = measure(lambda q: matmul_only(q)) if on_tpu else None
+    floor_qps = measure(lambda q: matmul_only(q, et)) if on_tpu else None
 
-    tag = "_cpu_fallback" if os.environ.get("BENCH_CPU_FALLBACK") else ""
+    # tag by the ACTUAL platform, not the env: a child that silently fell
+    # back to CPU (relay down at import) must never masquerade as a chip
+    # number (and must never be cached as one by _run_guarded)
+    tag = "" if on_tpu else "_cpu_fallback"
     print(json.dumps({
+        "platform": jax.devices()[0].platform,
         "metric": f"mips_top{k}_qps_per_chip_{n // 1000}k_psgs{tag}",
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
@@ -189,7 +196,10 @@ def main():
     }))
 
 
-def _probe_device(timeout_s: int = 120) -> str:
+_SIDECAR = ".bench_last_good.json"
+
+
+def _probe_device(timeout_s: int = 60) -> str:
     """One trivial jitted matmul in a child process under a short timeout.
     When the axon relay is down, device ops (and sometimes ``import jax``
     itself, via the sitecustomize plugin) hang rather than fail — a cheap
@@ -197,14 +207,18 @@ def _probe_device(timeout_s: int = 120) -> str:
     full-deadline attempt is spent. Returns ``"ok"``, ``"hang"`` (timed
     out — the wedge signature, worth waiting out) or ``"error"`` (fast
     non-zero exit — waiting won't help; let the normal attempts fail fast
-    into the CPU fallback)."""
+    into the stale-cache / CPU fallback)."""
     import os
     import subprocess
     import sys
 
-    code = ("import jax, jax.numpy as jnp;"
-            "jax.jit(lambda x: (x @ x.T).sum())"
-            "(jnp.ones((128, 128))).block_until_ready()")
+    # BENCH_PROBE_CODE lets tests simulate a wedged relay (a probe child
+    # that sleeps forever) without touching any real device.
+    code = os.environ.get(
+        "BENCH_PROBE_CODE",
+        "import jax, jax.numpy as jnp;"
+        "jax.jit(lambda x: (x @ x.T).sum())"
+        "(jnp.ones((128, 128))).block_until_ready()")
     try:
         rc = subprocess.run(
             [sys.executable, "-c", code], env=dict(os.environ),
@@ -215,42 +229,76 @@ def _probe_device(timeout_s: int = 120) -> str:
         return "hang"
 
 
+def _emit_stale_sidecar() -> bool:
+    """Print the last successful on-chip result tagged stale. A dated chip
+    number beats both rc=124 and a CPU line: the driver's record stays
+    comparable to BASELINE.md's per-chip bar (VERDICT r3 item 1)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _SIDECAR)
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    rec["stale"] = True
+    rec["stale_age_s"] = round(time.time() - rec.get("measured_at_unix", 0))
+    print(json.dumps(rec))
+    return True
+
+
 def _run_guarded() -> None:
-    """Run ``main()`` in a child under a deadline; retry once; fall back to
-    a CPU measurement (JAX_PLATFORMS=cpu, small N) if the accelerator path
-    hangs or dies — the driver always gets one valid JSON line."""
+    """Run ``main()`` in a child under a total wall-clock budget that fits
+    the driver's window (~20 min): short probe wait, two short device
+    attempts, then the last-known-good on-chip result (tagged stale), then
+    a CPU measurement — the driver ALWAYS gets one valid JSON line.
+
+    Worst case: probe-wait (<=240s) + 2 device attempts (<=420s each) +
+    stale emit (instant) or CPU fallback (<=240s) ~= 1150s. Round 3's
+    failure mode — per-attempt deadlines that alone exceeded the driver's
+    timeout, yielding rc=124/parsed:null — cannot recur by construction."""
     import os
     import subprocess
     import sys
     import time as _time
 
-    deadline = int(os.environ.get("BENCH_DEADLINE", 1500))
-    attempts = [({}, deadline), ({}, deadline),
-                ({"JAX_PLATFORMS": "cpu", "BENCH_CPU_FALLBACK": "1"}, 600)]
-    # Probe-gate the device attempts: if the relay is wedged, wait it out
-    # for up to BENCH_TPU_WAIT seconds (re-probing every 5 min) instead of
-    # burning two full deadlines on hung children; if it never recovers,
-    # jump straight to the CPU fallback.
-    wait_budget = int(os.environ.get("BENCH_TPU_WAIT", 1200))
-    t0 = _time.time()
-    while (status := _probe_device()) != "ok":
+    t_start = _time.time()
+    total_budget = int(os.environ.get("BENCH_TOTAL_BUDGET", 1150))
+    deadline = int(os.environ.get("BENCH_DEADLINE", 420))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", 60))
+    wait_budget = min(int(os.environ.get("BENCH_TPU_WAIT", 240)),
+                      total_budget // 4)
+
+    def remaining():
+        return total_budget - (_time.time() - t_start)
+
+    # Probe-gate the device attempts: a wedged relay makes every device op
+    # hang, so burning a full attempt deadline on a hung child is pure
+    # waste. Re-probe briefly; if the relay never answers, skip straight
+    # to the stale-cache / CPU fallback.
+    device_ok = True
+    while (status := _probe_device(probe_timeout)) != "ok":
         if status == "error":
             # fast hard failure (bad driver/device state, not a wedge):
-            # the device attempts below will fail fast too and fall
-            # through to the CPU measurement — don't burn the wait budget
+            # let the device attempts fail fast into the fallbacks
             print("# device probe exited non-zero; proceeding without "
                   "waiting", file=sys.stderr)
             break
-        waited = _time.time() - t0
+        waited = _time.time() - t_start
         if waited >= wait_budget:
             print(f"# device probe still hanging after {waited:.0f}s; "
-                  "skipping to CPU fallback", file=sys.stderr)
-            attempts = attempts[-1:]
+                  "skipping device attempts", file=sys.stderr)
+            device_ok = False
             break
         print(f"# device probe hung ({waited:.0f}s/{wait_budget}s); "
-              "relay may be wedged — waiting", file=sys.stderr)
-        _time.sleep(min(300, max(1.0, wait_budget - waited)))
-    for extra_env, limit in attempts:
+              "relay may be wedged — re-probing", file=sys.stderr)
+        _time.sleep(min(30.0, max(1.0, wait_budget - waited)))
+
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           _SIDECAR)
+
+    def attempt(extra_env, limit):
         env = {**os.environ, "BENCH_CHILD": "1", **extra_env}
         try:
             proc = subprocess.run(
@@ -259,16 +307,58 @@ def _run_guarded() -> None:
                 text=True, timeout=limit,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
         except subprocess.TimeoutExpired:
-            print(f"# bench attempt timed out after {limit}s; retrying",
+            print(f"# bench attempt timed out after {limit:.0f}s",
                   file=sys.stderr)
-            continue
+            return None
         lines = [ln for ln in proc.stdout.splitlines()
                  if ln.startswith("{")]
         if proc.returncode == 0 and lines:
-            print(lines[-1])
-            return
+            return lines[-1]
         print(f"# bench attempt rc={proc.returncode}; tail: "
               f"{proc.stdout[-500:]}", file=sys.stderr)
+        return None
+
+    if device_ok:
+        for _ in range(2):
+            # always leave >=120s for a fallback; skip attempts that
+            # no longer fit the remaining budget
+            limit = min(deadline, remaining() - 120)
+            if limit < 60:
+                break
+            line = attempt({}, limit)
+            if line is not None:
+                rec = json.loads(line)
+                if rec.get("platform") != "tpu":
+                    # the child silently ran on CPU (relay down at import):
+                    # not a chip number — prefer the stale chip cache
+                    print("# device attempt ran on "
+                          f"{rec.get('platform')}; discarding",
+                          file=sys.stderr)
+                    if _emit_stale_sidecar():
+                        return
+                    print(line)
+                    return
+                # refresh the last-known-good cache for future wedges
+                rec2 = dict(rec)
+                rec2["measured_at_unix"] = int(_time.time())
+                rec2["measured_at"] = _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+                try:
+                    with open(sidecar, "w") as f:
+                        json.dump(rec2, f, indent=1)
+                except OSError:
+                    pass
+                print(line)
+                return
+
+    if _emit_stale_sidecar():
+        return
+
+    line = attempt({"JAX_PLATFORMS": "cpu", "BENCH_CPU_FALLBACK": "1"},
+                   max(120, min(240, remaining())))
+    if line is not None:
+        print(line)
+        return
     raise SystemExit("bench: all attempts failed")
 
 
