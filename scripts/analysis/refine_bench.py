@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--refine", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--methods", type=str, default="",
+                    help="comma-separated method filter (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -53,20 +55,42 @@ def main():
     n, d, b, k = args.n, args.d, args.b, args.k
     n_pad = -(-n // 2048) * 2048
 
-    @jax.jit
-    def make(key):
+    # One SMALL jit per store, regenerating the f32 corpus each time from
+    # the same key: holding all five variants live under one program needs
+    # ~14.5 GB peak at flagship geometry (vs 16 GB HBM) and compiles a
+    # huge program remotely — the all-at-once version sat 15+ min with no
+    # output through the tunnel.
+    def _gen(key):
         e = jax.random.normal(key, (n, d), jnp.float32)
-        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-        b = f16_to_bits(e.astype(jnp.float16))
-        et = e.astype(jnp.bfloat16).T
-        v8, s8 = quantize_int8(e)
-        return (jnp.pad(b.T, ((0, 0), (0, n_pad - n))),
-                jnp.pad(et, ((0, 0), (0, n_pad - n))), b,
-                jnp.pad(v8.T, ((0, 0), (0, n_pad - n))),
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    @jax.jit
+    def make_ebt(key):
+        bt = f16_to_bits(_gen(key).astype(jnp.float16)).T
+        return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
+
+    @jax.jit
+    def make_et(key):
+        return jnp.pad(_gen(key).astype(jnp.bfloat16).T,
+                       ((0, 0), (0, n_pad - n)))
+
+    @jax.jit
+    def make_ebr(key):
+        return f16_to_bits(_gen(key).astype(jnp.float16))
+
+    @jax.jit
+    def make_e8(key):
+        v8, s8 = quantize_int8(_gen(key))
+        return (jnp.pad(v8.T, ((0, 0), (0, n_pad - n))),
                 jnp.pad(s8.reshape(1, n), ((0, 0), (0, n_pad - n))))
 
-    ebt, et, ebr, e8t, e8s = make(jax.random.PRNGKey(0))
-    jax.block_until_ready(ebt)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    ebt = jax.block_until_ready(make_ebt(key))
+    et = jax.block_until_ready(make_et(key))
+    ebr = jax.block_until_ready(make_ebr(key))
+    e8t, e8s = jax.block_until_ready(make_e8(key))
+    print(f"# stores built in {time.time() - t0:.0f}s", flush=True)
     rng = np.random.default_rng(0)
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
           for _ in range(args.iters)]
@@ -97,6 +121,10 @@ def main():
             q, e8t, e8s, k, tile_q=256, valid_n=n, pool_n=n,
             refine=args.refine, emb_rows=ebr),
     }
+
+    if args.methods:
+        want = set(args.methods.split(","))
+        methods = {k: v for k, v in methods.items() if k in want}
 
     def measure(fn):
         carry = jnp.zeros((b, 1), jnp.float32)
