@@ -14,6 +14,10 @@ import sys
 
 import pytest
 
+# every test here spawns real jax.distributed worker processes — excluded
+# from the smoke tier (see pyproject markers / verify SKILL.md test tiers)
+pytestmark = [pytest.mark.multiprocess, pytest.mark.slow]
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
