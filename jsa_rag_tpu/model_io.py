@@ -36,6 +36,10 @@ BERT_PRESETS = {
     "tiny": dict(hidden=64, layers=2, heads=4, intermediate=128),
     "small": dict(hidden=256, layers=4, heads=8, intermediate=512),
     "base": dict(hidden=768, layers=12, heads=12, intermediate=3072),
+    # bge-large-en geometry — the flagship retriever tower
+    # (reference: run-jsa-nq-no-rebuild.sh --retriever_model_path
+    # model/embedding/bge-large-en; src/index_io.py:92)
+    "large": dict(hidden=1024, layers=24, heads=16, intermediate=4096),
 }
 LM_PRESETS = {
     "tiny": dict(hidden=64, layers=2, heads=4, kv_heads=2, intermediate=128),
@@ -43,6 +47,11 @@ LM_PRESETS = {
                   intermediate=512),
     "base": dict(hidden=1024, layers=8, heads=16, kv_heads=8,
                  intermediate=2816),
+    # ~1B llama/mistral-geometry GQA generator — the largest that fits a
+    # single 16 GB chip next to the flagship 1.3M x 1024 index shard (the
+    # reference's 7B mistral spans multiple 80 GB GPUs)
+    "large": dict(hidden=2048, layers=16, heads=16, kv_heads=8,
+                  intermediate=5632),
 }
 
 

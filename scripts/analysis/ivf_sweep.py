@@ -60,6 +60,12 @@ def main(argv=None):
                     help="pq+rerank row: oversample factor before exact "
                          "rescoring (the framework's retrieve_with_rerank "
                          "path, reference src/rag.py:177-247)")
+    ap.add_argument("--device_corpus", action="store_true",
+                    help="generate the corpus ON DEVICE in chunks (same "
+                         "clustered distribution) instead of uploading a "
+                         "host array — required for >=1M x 1024 runs on "
+                         "the real chip: a multi-GB host->device upload "
+                         "wedges the axon relay")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,17 +80,53 @@ def main(argv=None):
     from jsa_rag_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(1, jax.device_count())
-    e = make_corpus(args.n, args.d, args.clusters, noise=args.noise,
-                    spectrum=args.spectrum)
-    rng = np.random.default_rng(1)
-    q = e[rng.integers(0, args.n, args.queries)] \
-        + 0.05 * rng.standard_normal((args.queries, args.d)).astype(
-            np.float32)
-
     flat = ShardedFlatIndex(mesh, args.n, args.d, dtype=jnp.float32,
                             method="exact")
-    for s in range(0, args.n, 65536):
-        flat.set_embeddings(s, e[s:s + 65536])
+    if args.device_corpus:
+        # same clustered power-law-spectrum distribution as make_corpus,
+        # generated per 65536-row chunk on device: centers are a fixed
+        # function of key 0, per-chunk assignment/noise fold in the chunk
+        # index — no multi-GB host upload through the relay
+        chunk = 65536
+
+        @jax.jit
+        def gen_chunk(ci, rows):
+            w = ((jnp.arange(args.d, dtype=jnp.float32) + 1.0)
+                 ** -args.spectrum) if args.spectrum else jnp.ones(
+                     args.d, jnp.float32)
+            centers = jax.random.normal(
+                jax.random.PRNGKey(0), (args.clusters, args.d),
+                jnp.float32) * w
+            centers = centers / jnp.linalg.norm(centers, axis=1,
+                                                keepdims=True)
+            ka, kn = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(1), ci))
+            assign = jax.random.randint(ka, (rows,), 0, args.clusters)
+            ch = centers[assign] + args.noise * w * jax.random.normal(
+                kn, (rows, args.d), jnp.float32)
+            return ch / jnp.linalg.norm(ch, axis=1, keepdims=True)
+
+        for ci, s in enumerate(range(0, args.n, chunk)):
+            rows = min(chunk, args.n - s)
+            flat.set_embeddings(s, gen_chunk(ci, rows))
+        # queries: perturbed rows of chunk 0, computed on device; only the
+        # (queries, d) block crosses to host
+        k0, k1 = jax.random.split(jax.random.PRNGKey(2))
+        ch0 = gen_chunk(0, min(chunk, args.n))
+        sel = jax.random.randint(k0, (args.queries,), 0, ch0.shape[0])
+        q = np.asarray(ch0[sel] + 0.05 * jax.random.normal(
+            k1, (args.queries, args.d), jnp.float32))
+        e = None  # host copy never exists in this mode
+        del ch0
+    else:
+        e = make_corpus(args.n, args.d, args.clusters, noise=args.noise,
+                        spectrum=args.spectrum)
+        rng = np.random.default_rng(1)
+        q = e[rng.integers(0, args.n, args.queries)] \
+            + 0.05 * rng.standard_normal((args.queries, args.d)).astype(
+                np.float32)
+        for s in range(0, args.n, 65536):
+            flat.set_embeddings(s, e[s:s + 65536])
     _, fi = flat.search(jnp.asarray(q), args.k)
     fi = np.asarray(fi)
     gold = [set(row) for row in fi]
@@ -134,7 +176,17 @@ def main(argv=None):
             _, cand = ivf.search(jnp.asarray(q), args.rerank_factor * args.k,
                                  n_probe=n_probe)
             cand = np.asarray(cand)
-            exact = np.einsum("bd,bkd->bk", q, e[cand])
+            if e is None:
+                # device gather from the flat store's (d, N) f32 buffer —
+                # the host corpus copy doesn't exist in --device_corpus mode
+                gathered = jax.jit(
+                    lambda emb, c: jnp.take(emb, c.reshape(-1), axis=1,
+                                            mode="clip")
+                )(flat.embeddings, jnp.asarray(cand))
+                g = np.asarray(gathered).T.reshape(cand.shape + (args.d,))
+                exact = np.einsum("bd,bkd->bk", q, g)
+            else:
+                exact = np.einsum("bd,bkd->bk", q, e[cand])
             order = np.argsort(-exact, axis=1)[:, :args.k]
             vi = np.take_along_axis(cand, order, axis=1)
             rec = float(np.mean([

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--n_context", type=int, default=10)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--text_maxlength", type=int, default=256)
+    ap.add_argument("--flagship", action="store_true",
+                    help="mirror the reference flagship training flags "
+                         "(run-jsa-nq-no-rebuild.sh:10-67): large presets "
+                         "(bge-large towers, ~1B GQA generator), LoRA, "
+                         "query-side-only retriever, decoupled posterior, "
+                         "bf16, remat, text 512 / target 256; combine with "
+                         "--n 1300000 for the full flagship profile")
     args = ap.parse_args()
 
     import jax
@@ -47,12 +54,23 @@ def main():
     from jsa_rag_tpu.parallel.mesh import make_mesh
     from jsa_rag_tpu.train.optim import set_optim
 
+    kw = {}
+    if args.flagship:
+        args.size = "large"
+        args.text_maxlength = 512
+        kw = dict(target_maxlength=256, use_lora=True,
+                  query_side_retriever_training=True, decouple_encoder=True,
+                  use_gradient_checkpoint_generator=True,
+                  use_gradient_checkpoint_retriever=True,
+                  precision="bf16", temperature_jsa=0.1,
+                  weight_decay=0.01, dropout=0.1)
     opt = Options(
         model_size=args.size, gold_score_mode="jsa", gen_method="jsa",
         n_context=args.n_context, mis_step=args.mis,
-        text_maxlength=args.text_maxlength, target_maxlength=16,
+        text_maxlength=args.text_maxlength,
         per_gpu_batch_size=args.batch, train_retriever=True,
         use_all_mis=True, unil_postandprior=True,
+        **{"target_maxlength": 16, **kw},
     )
     t0 = time.time()
     store = PassageStore.synthetic(args.n, seed=0)
