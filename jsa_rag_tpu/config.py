@@ -129,7 +129,10 @@ class Options:
     # 0.9929/0.9946 — docs/BENCHMARKS.md); bfloat16 is the max-throughput
     # option, int8 the half-memory one; "hybrid" stores fp16 rows + a
     # derived transposed int8 coarse copy (int8-scan speed at fp16 recall,
-    # 1.5x fp16 HBM)
+    # 1.5x fp16 HBM); "int8r" is residual-int8 — two per-row int8 planes
+    # (value + residual), EXACT fp16 memory (2 B/elem) with the coarse scan
+    # reading only half of it at int8 MXU rate and the top-(r*k) rescore
+    # reconstructing ~14-bit precision (> fp16) from both planes
     index_dtype: str = "float16"
     # fp16 refine-rescore candidate gather: "cols" gathers strided columns
     # of the (d, N) store (no extra HBM); "rows" keeps a row-major copy for

@@ -15,7 +15,7 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
 
     dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
              "float32": jnp.float32, "int8": jnp.int8,
-             "hybrid": "hybrid"}[opt.index_dtype]
+             "hybrid": "hybrid", "int8r": "int8r"}[opt.index_dtype]
     mode = opt.index_mode
     storage, n_lists, n_probe = "dense", opt.ivf_n_lists or None, \
         opt.ivf_n_probe or None

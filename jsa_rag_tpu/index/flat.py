@@ -80,9 +80,10 @@ def gather_queries_across_processes(q) -> tuple[jax.Array, int, int]:
     return jnp.asarray(all_q), jax.process_index() * b_max, b_local
 
 
-def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
+def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None,
+                      res_scale_shard=None, *,
                       k, n_true, shard_rows, n_padded, method, axes,
-                      transposed, hybrid=False, refine_r=4):
+                      transposed, hybrid=False, int8r=False, refine_r=4):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
     this device's (d, shard_rows) block of the transposed global matrix
     (dense/fp16/int8 storage) or its (shard_rows, d) fp16-bits rows block
@@ -96,7 +97,22 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None, *,
     shard's local top-k.
     """
     shard_pos = jax.lax.axis_index(axes)
-    if hybrid:
+    if int8r:
+        # residual-int8: int8 coarse scan over the (d, shard) plane-1 block
+        # (aux_shard = its per-column scales), then the two-plane f32
+        # reconstruction rescore (scale_shard = (shard_rows, d) residual
+        # codes, res_scale_shard = (1, shard) residual scales) — fp16-grade
+        # final precision at fp16's 2 bytes/element, coarse reads half
+        from ..ops.mips_pallas2 import mips_topk_pallas2_int8_t
+
+        n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)
+        max_pads = min(shard_rows, n_padded - n_true)
+        scores, local_idx = mips_topk_pallas2_int8_t(
+            q, emb_shard, aux_shard, min(shard_rows, k),
+            valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
+            refine=refine_r, res_rows=scale_shard,
+            res_scale=res_scale_shard)
+    elif hybrid:
         # int8 coarse scan over the derived transposed copy + f32-on-fp16
         # rescore from the primary rows store; pad columns masked by the
         # runtime valid count exactly as in the transposed branch
@@ -196,8 +212,21 @@ class ShardedFlatIndex:
         self._hybrid_cache = None
         self._hybrid_fn = None  # cached jit (avoid retrace per rebuild)
         self.refine_r = 4
+        # "int8r" (dtype="int8r" / --index_dtype int8r): residual-int8 —
+        # TWO per-row int8 quantization planes (value + residual-of-value),
+        # 2 bytes/element TOTAL (exact fp16 memory parity, reference
+        # src/index.py:52). Plane 1 is the primary transposed (d, N) store
+        # the int8 coarse kernel scans (1 byte/element HBM, int8 MXU, no
+        # in-kernel decode); plane 2 lives row-major (N, d) and is only
+        # touched by the top-(r*k) rescore, which reconstructs
+        # x ~= v1*s1 + v2*s2 to ~14 effective mantissa bits (> fp16's 11).
+        self.store_int8r = isinstance(dtype, str) and dtype == "int8r"
+        self.res = None
+        self.res_scales = None
         if self.store_hybrid:
             dtype = jnp.float16
+        if self.store_int8r:
+            dtype = jnp.int8
         # fp16 is stored as raw IEEE-half bits (int16): Mosaic has no f16
         # type, so the fused kernel decodes in-kernel (mips_pallas2_f16) —
         # reference-parity fp16 memory (src/index.py:52) at pallas speed.
@@ -243,8 +272,18 @@ class ShardedFlatIndex:
         self.scales = None
         # int8 scales live with the transposed storage: one f32 per COLUMN
         self.scale_sharding = NamedSharding(mesh, P(None, AXES.all))
-        if self.store_int8:
+        if self.store_int8 or self.store_int8r:
             self.scales = jax.device_put(
+                jnp.zeros((1, self.n_padded), jnp.float32),
+                self.scale_sharding)
+        if self.store_int8r:
+            # residual plane: row-major (N, d) codes (contiguous refine
+            # gather) + per-column residual scales
+            self.res_sharding = NamedSharding(mesh, P(AXES.all, None))
+            self.res = jax.device_put(
+                jnp.zeros((self.n_padded, dim), jnp.int8),
+                self.res_sharding)
+            self.res_scales = jax.device_put(
                 jnp.zeros((1, self.n_padded), jnp.float32),
                 self.scale_sharding)
         self._search_fn = None
@@ -258,14 +297,32 @@ class ShardedFlatIndex:
         dynamic_update_slice per shard (reference analogue:
         src/rag.py:118-121 writing ``index.embeddings[:, a:b]``).
         """
+        if self.store_int8r:
+            self.embeddings, aux = self.write_block(
+                self.embeddings, (self.scales, self.res, self.res_scales),
+                start, block)
+            self.scales, self.res, self.res_scales = aux
+            return
         self.embeddings, self.scales = self.write_block(
             self.embeddings, self.scales, start, block)
 
     def write_block(self, buf_emb, buf_scale, start: int, block_rows):
         """Storage-transform + write a float row block into ``buf_emb`` (and
-        ``buf_scale`` for int8) at row ``start``; returns the updated
-        buffers. Single write primitive shared by ``set_embeddings`` and the
-        double-buffered incremental refresh."""
+        ``buf_scale`` for int8 — for int8r a (scales, res, res_scales)
+        tuple) at row ``start``; returns the updated buffers. Single write
+        primitive shared by ``set_embeddings`` and the double-buffered
+        incremental refresh."""
+        if self.store_int8r:
+            from ..ops.mips_pallas2 import quantize_int8_residual
+
+            v1, s1, v2, s2 = quantize_int8_residual(jnp.asarray(block_rows))
+            scales, res, res_scales = buf_scale
+            buf_emb = _update_cols(buf_emb, v1, start, self.sharding)
+            scales = _update_cols(scales, s1, start, self.scale_sharding)
+            res = _update_rows(res, v2, start, self.res_sharding)
+            res_scales = _update_cols(res_scales, s2, start,
+                                      self.scale_sharding)
+            return buf_emb, (scales, res, res_scales)
         block, scale = self.encode_block(block_rows)
         if scale is not None:
             # (rows, 1) per-row scales -> one f32 per column of the
@@ -312,17 +369,31 @@ class ShardedFlatIndex:
         return self._run_search(q, k)
 
     def _run_search(self, q, k: int):
+        fn, ops = self.fused_search_fn(k)
+        return fn(q, *ops)
+
+    def fused_search_fn(self, k: int):
+        """(jitted search fn, storage operand tuple) for THIS storage mode —
+        the single dispatch point shared by ``search`` and callers that
+        embed queries inside a larger device program (the fused
+        retrieve_pair, rag_model.py): call ``fn(queries, *operands)``.
+        Re-fetch the operands after any embeddings swap (refresh) — derived
+        copies (hybrid int8 / refine rows) are re-derived here when stale."""
         if self.store_hybrid:
             e8t, s8 = self._hybrid_copies()
-            return self._get_search_fn(k, hybrid=True)(
-                q, self.embeddings, e8t, s8)
+            return (self._get_search_fn(k, hybrid=True),
+                    (self.embeddings, e8t, s8))
+        if self.store_int8r:
+            return (self._get_search_fn(k, int8r=True),
+                    (self.embeddings, self.scales, self.res,
+                     self.res_scales))
         if self.store_int8:
-            return self._get_search_fn(k)(q, self.embeddings, self.scales)
+            return self._get_search_fn(k), (self.embeddings, self.scales)
         rows = self._rows_copy()
         if rows is not None:
-            return self._get_search_fn(k, with_rows=True)(
-                q, self.embeddings, rows)
-        return self._get_search_fn(k)(q, self.embeddings)
+            return (self._get_search_fn(k, with_rows=True),
+                    (self.embeddings, rows))
+        return self._get_search_fn(k), (self.embeddings,)
 
     def _hybrid_copies(self):
         """Derived coarse-scan representation for hybrid storage: the
@@ -389,8 +460,8 @@ class ShardedFlatIndex:
                 np.asarray(ids)[lo:lo + b_local])
 
     def _get_search_fn(self, k: int, with_rows: bool = False,
-                       hybrid: bool = False):
-        key = (k, self.n_passages, with_rows, hybrid, self.refine_r)
+                       hybrid: bool = False, int8r: bool = False):
+        key = (k, self.n_passages, with_rows, hybrid, int8r, self.refine_r)
         if self._search_fn is None or self._search_fn[0] != key:
             body = functools.partial(
                 _search_one_shard,
@@ -402,9 +473,14 @@ class ShardedFlatIndex:
                 axes=AXES.all,
                 transposed=self.transposed,
                 hybrid=hybrid,
+                int8r=int8r,
                 refine_r=self.refine_r,
             )
-            if hybrid:
+            if int8r:
+                # plane-1 cols + col scales, residual rows + col scales
+                in_specs = (P(), P(None, AXES.all), P(None, AXES.all),
+                            P(AXES.all, None), P(None, AXES.all))
+            elif hybrid:
                 in_specs = (P(), P(AXES.all, None), P(None, AXES.all),
                             P(None, AXES.all))
             elif self.store_int8:
@@ -436,7 +512,11 @@ class ShardedFlatIndex:
         # from process 0 only
         host = fetch_global(self.embeddings, self.mesh)
         scales = (fetch_global(self.scales, self.mesh)
-                  if self.store_int8 else None)
+                  if self.store_int8 or self.store_int8r else None)
+        res = res_scales = None
+        if self.store_int8r:
+            res = fetch_global(self.res, self.mesh)
+            res_scales = fetch_global(self.res_scales, self.mesh)
         if jax.process_index() != 0:
             return
         os.makedirs(path, exist_ok=True)
@@ -447,16 +527,26 @@ class ShardedFlatIndex:
         rows = np.array_split(host, n_files, axis=0)
         for i, r in enumerate(rows):
             np_save(os.path.join(path, f"embeddings.{i}.npy"), r)
-        if self.store_int8:
+        if scales is not None:
             # disk format stays (N, 1) row-major like the embeddings
             scales = np.ascontiguousarray(scales.T[: self.n_passages])
             for i, r in enumerate(np.array_split(scales, n_files, axis=0)):
                 np_save(os.path.join(path, f"scales.{i}.npy"), r)
+        if self.store_int8r:
+            for i, r in enumerate(np.array_split(
+                    res[: self.n_passages], n_files, axis=0)):
+                np_save(os.path.join(path, f"res.{i}.npy"), r)
+            res_scales = np.ascontiguousarray(
+                res_scales.T[: self.n_passages])
+            for i, r in enumerate(np.array_split(res_scales, n_files,
+                                                 axis=0)):
+                np_save(os.path.join(path, f"res_scales.{i}.npy"), r)
         meta = {
             "n_passages": self.n_passages,
             "dim": self.dim,
             "dtype": str(np.dtype(jnp.dtype(self.dtype).name)),
             "store_int8": self.store_int8,
+            "store_int8r": self.store_int8r,
             "store_f16_bits": self.store_f16_bits,
             "store_hybrid": self.store_hybrid,
             "n_files": n_files,
@@ -475,6 +565,7 @@ class ShardedFlatIndex:
         # scales). Hybrid must construct as hybrid: its primary layout is
         # row-major (plain int16 would allocate transposed).
         dtype = ("hybrid" if meta.get("store_hybrid")
+                 else "int8r" if meta.get("store_int8r")
                  else jnp.dtype(meta["dtype"]))
         idx = cls(mesh, meta["n_passages"], meta["dim"],
                   dtype=dtype, method=method)
@@ -488,7 +579,7 @@ class ShardedFlatIndex:
             else:
                 idx.embeddings = _update_rows(idx.embeddings, raw, start,
                                               idx.sharding)
-            if meta.get("store_int8"):
+            if meta.get("store_int8") or meta.get("store_int8r"):
                 scale = np_load(os.path.join(path, f"scales.{i}.npy"))
                 if idx.scales is None:
                     idx.scales = jax.device_put(
@@ -496,6 +587,14 @@ class ShardedFlatIndex:
                         idx.scale_sharding)
                 idx.scales = _update_cols(idx.scales, jnp.asarray(scale),
                                           start, idx.scale_sharding)
+            if meta.get("store_int8r"):
+                r = np_load(os.path.join(path, f"res.{i}.npy"), jnp.int8)
+                idx.res = _update_rows(idx.res, jnp.asarray(r, jnp.int8),
+                                       start, idx.res_sharding)
+                rs = np_load(os.path.join(path, f"res_scales.{i}.npy"))
+                idx.res_scales = _update_cols(
+                    idx.res_scales, jnp.asarray(rs), start,
+                    idx.scale_sharding)
             start += block.shape[0]
         assert start == meta["n_passages"]
         idx.store_int8 = bool(meta.get("store_int8", False))
@@ -509,6 +608,11 @@ class ShardedFlatIndex:
             e = self.embeddings[:, : self.n_passages]
             if self.store_f16_bits or e.dtype == jnp.int16:
                 e = jax.lax.bitcast_convert_type(e, jnp.float16)
+            if self.store_int8r:
+                return (e.T.astype(jnp.float32)
+                        * self.scales[:, : self.n_passages].T
+                        + self.res[: self.n_passages].astype(jnp.float32)
+                        * self.res_scales[:, : self.n_passages].T)
             if self.store_int8:
                 return (e.T.astype(jnp.float32)
                         * self.scales[:, : self.n_passages].T)

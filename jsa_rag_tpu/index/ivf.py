@@ -93,9 +93,9 @@ class ShardedIVFIndex:
         self.mesh = mesh
         self.n_passages = n_passages
         self.dim = dim
-        if isinstance(dtype, str) and dtype == "hybrid":
-            # --index_dtype hybrid with an IVF mode: the IVF analogue of
-            # hybrid flat storage is a quantized probe scan + exact fp16
+        if isinstance(dtype, str) and dtype in ("hybrid", "int8r"):
+            # --index_dtype hybrid/int8r with an IVF mode: the IVF analogue
+            # of both flat schemes is a quantized probe scan + exact
             # rerank — turn refine on (and default dense storage to sq8)
             # instead of crashing on the non-numpy dtype string
             refine = True

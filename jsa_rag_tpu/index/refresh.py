@@ -56,7 +56,15 @@ class IncrementalIndexRefresher:
         idx = self.index
         self._staging = jax.device_put(
             jnp.zeros_like(idx.embeddings), idx.sharding)
-        if idx.store_int8:
+        if idx.store_int8r:
+            # write_block's int8r aux is the (scales, res, res_scales) tuple
+            self._staging_scales = (
+                jax.device_put(jnp.zeros_like(idx.scales),
+                               idx.scale_sharding),
+                jax.device_put(jnp.zeros_like(idx.res), idx.res_sharding),
+                jax.device_put(jnp.zeros_like(idx.res_scales),
+                               idx.scale_sharding))
+        elif idx.store_int8:
             self._staging_scales = jax.device_put(
                 jnp.zeros_like(idx.scales), idx.scale_sharding)
         self._cursor = 0
@@ -105,7 +113,9 @@ class IncrementalIndexRefresher:
         if self._cursor >= idx.n_passages:
             # atomic swap: the staging buffer becomes the live index
             idx.embeddings = self._staging
-            if idx.store_int8:
+            if idx.store_int8r:
+                idx.scales, idx.res, idx.res_scales = self._staging_scales
+            elif idx.store_int8:
                 idx.scales = self._staging_scales
             self._staging = None
             self._staging_scales = None

@@ -657,6 +657,51 @@ def quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return v, scale
 
 
+@jax.jit
+def quantize_int8_residual(x: jax.Array):
+    """Two-plane residual quantization: x ~= v1*s1 + v2*s2 with per-row
+    scales — 2 bytes/element, the SAME memory as fp16 storage, but the
+    first plane alone drives the coarse scan (1 byte/element HBM at int8
+    MXU rate, no in-kernel decode) and the reconstruction carries ~14
+    effective mantissa bits, BETTER than fp16's 11. v2 quantizes the
+    plane-1 rounding error (|r| <= s1/2), so s2 ~= s1/254 and the final
+    error is ~1/32k of the row max. TPU-native answer to fp16-at-memory-
+    parity (reference storage: src/index.py:52) without paying the fp16
+    bit-decode in the hot loop.
+    -> (v1 (rows, d) int8, s1 (rows, 1) f32, v2 (rows, d) int8,
+        s2 (rows, 1) f32)."""
+    x = x.astype(jnp.float32)
+    v1, s1 = quantize_int8(x)
+    r = x - v1.astype(jnp.float32) * s1
+    v2, s2 = quantize_int8(r)
+    return v1, s1, v2, s2
+
+
+def _int8r_refine(q, emb_q_t, scale_row, res_rows, res_scale_row, ids,
+                  k: int, nv):
+    """Rescore int8 coarse candidates from the two quantization planes:
+    plane 1 gathered as (strided) columns of the (d, N) coarse store,
+    plane 2 as contiguous rows of the (N, d) residual store, reconstructed
+    to f32 (x ~= v1*s1 + v2*s2) and contracted at HIGHEST precision —
+    the shared refine contract of ``_f16_refine`` over residual-int8
+    storage. Placeholder ids (-1) clip-gather row 0 and are masked."""
+    b, kc = ids.shape
+    d = q.shape[1]
+    flat = ids.reshape(-1)
+    x1 = jnp.take(emb_q_t, flat, axis=1, mode="clip").T.reshape(
+        b, kc, d).astype(jnp.float32)
+    s1 = jnp.take(scale_row[0], flat, mode="clip").reshape(b, kc, 1)
+    x2 = jnp.take(res_rows, flat, axis=0, mode="clip").reshape(
+        b, kc, d).astype(jnp.float32)
+    s2 = jnp.take(res_scale_row[0], flat, mode="clip").reshape(b, kc, 1)
+    x = x1 * s1 + x2 * s2
+    s = jnp.einsum("bd,bkd->bk", q, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = jnp.where((ids >= 0) & (ids < nv[0]), s, NEG_INF)
+    v, a = jax.lax.top_k(s, k)
+    return v, jnp.take_along_axis(ids, a, axis=1)
+
+
 def _topt_int8_kernel(qv_ref, qs_ref, e_ref, es_ref, out_s_ref, out_i_ref,
                       *, t_per_tile: int, tile_n: int, n_true: int):
     """int8 x int8 -> int32 MXU scoring with per-row dequant scales."""
@@ -715,6 +760,8 @@ def mips_topk_pallas2_int8_t(
     interpret: bool | None = None,
     refine: int = 0,
     emb_rows: jax.Array | None = None,
+    res_rows: jax.Array | None = None,
+    res_scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused MIPS over a transposed (d, N) int8 index.
 
@@ -727,9 +774,18 @@ def mips_topk_pallas2_int8_t(
     copy. Coarse reads 1 byte/element at int8 MXU rate; final scores are
     f32-on-fp16 (the >=0.99-recall storage) — int8 scan speed at fp16
     recall for 1.5x fp16-alone HBM (int8 cols + fp16 rows).
+    ``refine=r>0`` + ``res_rows``/``res_scale`` ((N, d) int8 residual
+    codes + (1, N) residual scales): RESIDUAL-int8 mode — same int8
+    coarse scan, rescore reconstructs x ~= v1*s1 + v2*s2 from the two
+    quantization planes (``_int8r_refine``): fp16-grade final precision
+    at exactly fp16's 2 bytes/element total, with the coarse scan
+    touching only half of it.
     ``valid_n``/``pool_n`` as in ``mips_topk_pallas2_t``."""
-    if refine and emb_rows is None:
-        raise ValueError("hybrid int8 refine needs the fp16 emb_rows copy")
+    if refine and emb_rows is None and res_rows is None:
+        raise ValueError(
+            "int8 refine needs emb_rows (hybrid) or res_rows (residual)")
+    if res_rows is not None and res_scale is None:
+        raise ValueError("res_rows requires res_scale")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, d = queries.shape
@@ -801,6 +857,10 @@ def mips_topk_pallas2_int8_t(
     if not refine:
         return _merge_candidates(cand_s, cand_i, k, b)
     _, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
+    if res_rows is not None:
+        # gathers clip ids into the padded range; pads/-1 are masked by nv
+        return _int8r_refine(q[:b], emb_q_t, emb_scale_row,
+                             res_rows, res_scale, ids, k, nv)
     return _f16_refine(q[:b], None, ids, k, nv, emb_rows=emb_rows)
 
 

@@ -215,15 +215,17 @@ class RAGModel:
         # silently reusing a closure with stale shard offsets
         fn = self._jit(("retrieve_pair", topk, id(index),
                         index.n_passages, index.shard_rows, str(index.dtype),
-                        getattr(index, "store_int8", False)), lambda:
+                        getattr(index, "store_int8", False),
+                        getattr(index, "store_int8r", False),
+                        getattr(index, "store_hybrid", False)), lambda:
                        self._make_retrieve_pair_fn(index, topk))
-        scales = (index.scales if getattr(index, "store_int8", False)
-                  else jnp.zeros((1, 1), jnp.float32))
+        # storage operands re-fetched per call: refresh swaps the buffers
+        # (and re-derives hybrid/rows copies) without invalidating the jit
+        _, store_ops = index.fused_search_fn(topk)
         _, prior_ids, _, post_ids = fn(
             params["retriever"], self._posterior_params(params),
             jnp.asarray(q_ids), jnp.asarray(q_mask),
-            jnp.asarray(pq_ids), jnp.asarray(pq_mask), index.embeddings,
-            scales)
+            jnp.asarray(pq_ids), jnp.asarray(pq_mask), *store_ops)
         prior_ids, post_ids = np.asarray(prior_ids), np.asarray(post_ids)
         if iter_stats is not None:
             iter_stats["runtime/search"] = (time.time() - t0, 1)
@@ -231,22 +233,21 @@ class RAGModel:
                 self.passage_texts(post_ids))
 
     def _make_retrieve_pair_fn(self, index, topk):
-        search = index._get_search_fn(topk)
-        int8 = getattr(index, "store_int8", False)
+        # the search fn is cached on the index per (k, storage flags);
+        # storage operands arrive per call (see fused_search_fn) so hybrid/
+        # int8r/rows-copy stores all work through the fused path
+        search, _ = index.fused_search_fn(topk)
 
         @jax.jit
         def fn(prior_tower, post_tower, q_ids, q_mask, pq_ids, pq_mask,
-               emb, scales):
+               *store_ops):
             prior_q = self.retriever.embed_queries(prior_tower, q_ids,
                                                    q_mask)
             post_q = self.retriever.embed_queries(post_tower, pq_ids,
                                                   pq_mask)
             q_all = jnp.concatenate(
                 [prior_q, post_q], axis=0).astype(jnp.float32)
-            if int8:
-                scores, ids = search(q_all, emb, scales)
-            else:
-                scores, ids = search(q_all, emb)
+            scores, ids = search(q_all, *store_ops)
             b = q_ids.shape[0]
             return (scores[:b], ids[:b], scores[b:], ids[b:])
 

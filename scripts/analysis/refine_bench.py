@@ -18,6 +18,8 @@ session (tunnel numbers are only comparable same-session):
   rescore-rows: _f16_refine on the same ids via the row-major copy
   int8_coarse : transposed int8 kernel, no refine (1 byte/elt scan)
   int8_hybrid : int8 coarse + f32-on-fp16 rescore from the rows copy
+  int8r       : int8 coarse + two-plane residual-int8 rescore
+                (--index_dtype int8r; fp16 memory parity)
 
 Usage: python scripts/analysis/refine_bench.py [--n 1300000 --d 1024]
 """
@@ -50,7 +52,8 @@ def main():
                                               mips_topk_pallas2_f16_t,
                                               mips_topk_pallas2_int8_t,
                                               mips_topk_pallas2_t,
-                                              quantize_int8)
+                                              quantize_int8,
+                                              quantize_int8_residual)
 
     n, d, b, k = args.n, args.d, args.b, args.k
     n_pad = -(-n // 2048) * 2048
@@ -84,12 +87,34 @@ def main():
         return (jnp.pad(v8.T, ((0, 0), (0, n_pad - n))),
                 jnp.pad(s8.reshape(1, n), ((0, 0), (0, n_pad - n))))
 
+    @jax.jit
+    def make_i8r_res(key):
+        # int8r plane 2 only — plane 1 (v1, s1) is exactly quantize_int8 of
+        # the corpus, i.e. the e8t/e8s store built above
+        _, _, v2, s2 = quantize_int8_residual(_gen(key))
+        return v2, jnp.pad(s2.reshape(1, n), ((0, 0), (0, n_pad - n)))
+
     key = jax.random.PRNGKey(0)
+    want = set(args.methods.split(",")) if args.methods else None
+
+    def sel(*names):
+        return want is None or bool(want & set(names))
+
+    # build only the stores the selected methods touch (each is GBs of HBM
+    # and a remote compile through the tunnel)
     t0 = time.time()
-    ebt = jax.block_until_ready(make_ebt(key))
-    et = jax.block_until_ready(make_et(key))
-    ebr = jax.block_until_ready(make_ebr(key))
-    e8t, e8s = jax.block_until_ready(make_e8(key))
+    ebt = et = ebr = e8t = e8s = r8 = r8s = None
+    if sel("f16_refine", "f16_refine_rows", "f16_exact", "rescore_only",
+           "rescore_sorted", "rescore_rows"):
+        ebt = jax.block_until_ready(make_ebt(key))
+    if sel("bf16"):
+        et = jax.block_until_ready(make_et(key))
+    if sel("f16_refine_rows", "rescore_rows", "int8_hybrid"):
+        ebr = jax.block_until_ready(make_ebr(key))
+    if sel("int8_coarse", "int8_hybrid", "int8r"):
+        e8t, e8s = jax.block_until_ready(make_e8(key))
+    if sel("int8r"):
+        r8, r8s = jax.block_until_ready(make_i8r_res(key))
     print(f"# stores built in {time.time() - t0:.0f}s", flush=True)
     rng = np.random.default_rng(0)
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
@@ -120,6 +145,11 @@ def main():
         "int8_hybrid": lambda q: mips_topk_pallas2_int8_t(
             q, e8t, e8s, k, tile_q=256, valid_n=n, pool_n=n,
             refine=args.refine, emb_rows=ebr),
+        # residual-int8 (--index_dtype int8r): same coarse scan, rescore
+        # reconstructs from the two planes — fp16 memory, half-coarse HBM
+        "int8r": lambda q: mips_topk_pallas2_int8_t(
+            q, e8t, e8s, k, tile_q=256, valid_n=n, pool_n=n,
+            refine=args.refine, res_rows=r8, res_scale=r8s),
     }
 
     if args.methods:

@@ -57,7 +57,7 @@ def main(argv=None):
         f16_to_bits, hybrid_int8_from_bits, mips_topk_pallas2,
         mips_topk_pallas2_f16, mips_topk_pallas2_f16_t,
         mips_topk_pallas2_int8, mips_topk_pallas2_int8_t,
-        mips_topk_pallas2_t, quantize_int8,
+        mips_topk_pallas2_t, quantize_int8, quantize_int8_residual,
     )
 
     n, d, b, k = args.n, args.d, args.b, args.k
@@ -121,6 +121,15 @@ def main(argv=None):
                 jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),
                 bits_rows)
 
+    def enc_int8r(e):
+        # residual-int8 (--index_dtype int8r): two per-row int8 planes at
+        # fp16's 2 B/elem total; coarse scans plane 1 only (1 B/elem HBM)
+        v1, s1, v2, s2 = quantize_int8_residual(e)
+        return (jnp.pad(v1.T, ((0, 0), (0, n_pad - n))),
+                jnp.pad(s1.reshape(1, n), ((0, 0), (0, n_pad - n))),
+                v2,
+                jnp.pad(s2.reshape(1, n), ((0, 0), (0, n_pad - n))))
+
     def make_flat_index(e, dtype):
         """Production path: ShardedFlatIndex.search (shard_map + fused
         kernel + cross-shard merge) — the judge-visible API surface."""
@@ -168,6 +177,14 @@ def main(argv=None):
                        refine=4, emb_rows=s[2])),
         "flat_hybrid_index": (lambda e: make_flat_index(e, "hybrid"),
                               lambda q, s: s.search(q, k)),
+        # residual-int8: plane-1 int8 coarse scan + two-plane f32
+        # reconstruction rescore (fp16 memory parity, half-coarse HBM)
+        "int8r": (jax.jit(enc_int8r),
+                  lambda q, s: mips_topk_pallas2_int8_t(
+                      q, s[0], s[1], k, tile_q=tq, valid_n=n, pool_n=n,
+                      refine=4, res_rows=s[2], res_scale=s[3])),
+        "flat_int8r_index": (lambda e: make_flat_index(e, "int8r"),
+                             lambda q, s: s.search(q, k)),
         # end-to-end through the index layer (the production API)
         "flat_f16_index": (lambda e: make_flat_index(e, jnp.float16),
                            lambda q, s: s.search(q, k)),
@@ -213,7 +230,8 @@ def main(argv=None):
                         "bf16_row": 2, "int8": 1, "int8_t": 1,
                         "flat_int8_index": 1, "f16_refine": 2,
                         "flat_f16_index": 2, "flat_bf16_index": 2,
-                        "hybrid": 3, "flat_hybrid_index": 3}[mode]
+                        "hybrid": 3, "flat_hybrid_index": 3,
+                        "int8r": 2, "flat_int8r_index": 2}[mode]
         row = {"mode": mode, "recall@20": round(r20, 4),
                "recall@100": round(r100, 4), "qps": round(qps, 1),
                "hbm_gb": round(n * d * bytes_per_el / 2**30, 2),

@@ -451,13 +451,16 @@ def test_simplify_jsa_without_posterior_params(setup):
         model.opt.simplify_JSA = False
 
 
-def test_jsa_with_int8_index(setup):
-    """retrieve_pair's fused path must pass scales for int8 indexes
-    (review finding #2)."""
+@pytest.mark.parametrize("dt", [jnp.int8, "hybrid", "int8r"])
+def test_jsa_with_int8_index(setup, dt):
+    """retrieve_pair's fused path must pass every storage mode's operand
+    set — int8 scales (review finding #2), the hybrid derived coarse copy,
+    and int8r's residual planes (regression: hybrid/int8r through the
+    fused jsa retrieval used to hit the plain-dense operand signature)."""
     model, _, params = setup
     from jsa_rag_tpu.parallel.mesh import make_mesh
     idx8 = ShardedFlatIndex(make_mesh(1, 8), len(model.store), 32,
-                            dtype=jnp.int8)
+                            dtype=dt)
     model.build_index(idx8, params)
     batch = model.build_batch("jsa", idx8, params, QUERIES, TARGETS)
     vg = model.loss_and_grad_fn("jsa")
