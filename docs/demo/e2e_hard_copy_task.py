@@ -19,7 +19,13 @@ index refresh; reference inits from bge-large, src/index_io.py:92):
   python docs/demo/e2e_hard_copy_task.py
 """
 import sys; sys.path.insert(0, "/root/repo")
-import json, numpy as np, jax, jax.numpy as jnp
+import json, numpy as np, jax
+# tiny models: run on host CPU so the real chip stays free for perf
+# measurement campaigns (set JSA_DEMO_TPU=1 to run on the device)
+import os
+if not os.environ.get("JSA_DEMO_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
 from jsa_rag_tpu.config import Options
 from jsa_rag_tpu.data.passages import PassageStore, load_passages_jsonl
 from jsa_rag_tpu.index.flat import ShardedFlatIndex
