@@ -124,9 +124,15 @@ def main():
     ids_sort = jnp.sort(ids_fix, axis=1)
     nv = jnp.asarray([n], jnp.int32)
 
-    refine_j = jax.jit(lambda q, ids: _f16_refine(q, ebt, ids, k, nv))
-    refine_r = jax.jit(
-        lambda q, ids: _f16_refine(q, ebt, ids, k, nv, emb_rows=ebr))
+    # stores are ARGUMENTS, not closures: a closed-over device array is
+    # lowered as a captured constant, i.e. a multi-GB upload through the
+    # tunnel at compile time (the r3 bench-deadline killer; see bench.py
+    # matmul_only note)
+    refine_j_ = jax.jit(lambda q, ids, s: _f16_refine(q, s, ids, k, nv))
+    refine_r_ = jax.jit(
+        lambda q, ids, s, r: _f16_refine(q, s, ids, k, nv, emb_rows=r))
+    refine_j = lambda q, ids: refine_j_(q, ids, ebt)
+    refine_r = lambda q, ids: refine_r_(q, ids, ebt, ebr)
     methods = {
         "bf16": lambda q: mips_topk_pallas2_t(
             q.astype(jnp.bfloat16), et, k, tile_q=256, valid_n=n),

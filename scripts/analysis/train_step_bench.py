@@ -41,6 +41,11 @@ def main():
                          "query-side-only retriever, decoupled posterior, "
                          "bf16, remat, text 512 / target 256; combine with "
                          "--n 1300000 for the full flagship profile")
+    ap.add_argument("--unfused", action="store_true",
+                    help="also run the unfused grad/update diagnostic "
+                         "phase (holds a full non-donated grads tree "
+                         "alongside the params — OOMs the 16 GB chip at "
+                         "flagship geometry, so --flagship skips it)")
     args = ap.parse_args()
 
     import jax
@@ -98,41 +103,44 @@ def main():
         ts = [f"w{rng0.integers(900)}" for _ in range(args.batch)]
         return qs, ts
 
-    vg = model.loss_and_grad_fn("jsa")
-    tx, _ = set_optim(opt, params)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def apply_update(params, opt_state, grads):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
-
+    run_unfused = args.unfused or not args.flagship
     times = {"batch": [], "grad": [], "update": []}
-    for step in range(args.steps + 2):
-        qs, ts = make_qt(step)
-        rng = jax.random.PRNGKey(step)
-        t0 = time.time()
-        batch = model.build_batch("jsa", index, params, qs, ts)
-        jax.block_until_ready(batch["union_passage_ids"])
-        t1 = time.time()
-        (loss, aux), grads = vg(params, batch, rng)
-        loss = float(loss)  # forces the full fwd+bwd
-        t2 = time.time()
-        params, opt_state = apply_update(params, opt_state, grads)
-        jax.block_until_ready(
-            jax.tree_util.tree_leaves(params)[0])
-        t3 = time.time()
-        if step >= 2:  # first 2 steps warm compiles
-            times["batch"].append(t1 - t0)
-            times["grad"].append(t2 - t1)
-            times["update"].append(t3 - t2)
-        assert np.isfinite(loss), loss
-    tot = sum(float(np.mean(v)) for v in times.values())
-    for k, v in times.items():
-        print(f"{k:7s}: {np.mean(v)*1e3:8.1f} ms "
-              f"(+/- {np.std(v)*1e3:.1f})")
-    print(f"total  : {tot*1e3:8.1f} ms/step -> "
-          f"{args.batch/tot:.2f} examples/sec/chip (loss {loss:.3f})")
+    if run_unfused:
+        vg = model.loss_and_grad_fn("jsa")
+        tx, _ = set_optim(opt, params)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def apply_update(params, opt_state, grads):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        for step in range(args.steps + 2):
+            qs, ts = make_qt(step)
+            rng = jax.random.PRNGKey(step)
+            t0 = time.time()
+            batch = model.build_batch("jsa", index, params, qs, ts)
+            jax.block_until_ready(batch["union_passage_ids"])
+            t1 = time.time()
+            (loss, aux), grads = vg(params, batch, rng)
+            loss = float(loss)  # forces the full fwd+bwd
+            t2 = time.time()
+            params, opt_state = apply_update(params, opt_state, grads)
+            jax.block_until_ready(
+                jax.tree_util.tree_leaves(params)[0])
+            t3 = time.time()
+            if step >= 2:  # first 2 steps warm compiles
+                times["batch"].append(t1 - t0)
+                times["grad"].append(t2 - t1)
+                times["update"].append(t3 - t2)
+            assert np.isfinite(loss), loss
+        del grads, opt_state, batch
+        tot = sum(float(np.mean(v)) for v in times.values())
+        for k, v in times.items():
+            print(f"{k:7s}: {np.mean(v)*1e3:8.1f} ms "
+                  f"(+/- {np.std(v)*1e3:.1f})")
+        print(f"total  : {tot*1e3:8.1f} ms/step -> "
+              f"{args.batch/tot:.2f} examples/sec/chip (loss {loss:.3f})")
 
     # ---- production fused step (what train.py actually runs): ONE jitted
     # loss+grad+update program, params/opt_state donated (in-place update,
@@ -142,13 +150,15 @@ def main():
                                         setup_params)
 
     params_p, specs = setup_params(opt, params, mesh)
+    del params  # flagship geometry cannot hold two full copies + step
     tx2, _ = set_optim(opt, params_p)
     opt_state2 = init_opt_state(tx2, params_p, specs, mesh)
     fused = make_train_step(model.fns, "jsa", tx2, mesh)
     place = make_batch_placer(mesh)
-    fused_times = []
+    fused_times, batch_times = [], []
     for step in range(args.steps + 2):
         qs, ts = make_qt(1000 + step)
+        tb = time.time()
         batch = place(model.build_batch("jsa", index, params_p, qs, ts))
         jax.block_until_ready(batch["union_passage_ids"])
         t0 = time.time()
@@ -156,13 +166,22 @@ def main():
             params_p, opt_state2, batch, jax.random.PRNGKey(step))
         loss2 = float(loss2)
         if step >= 2:
+            batch_times.append(t0 - tb)
             fused_times.append(time.time() - t0)
         assert np.isfinite(loss2), loss2
     ft = float(np.mean(fused_times))
-    gu = float(np.mean(times["grad"]) + np.mean(times["update"]))
+    bt = float(np.mean(batch_times))
+    if run_unfused:
+        gu = float(np.mean(times["grad"]) + np.mean(times["update"]))
+        vs = f"[vs grad+update {gu*1e3:.1f} ms] "
+    else:
+        vs = ""
+    print(f"batch  : {bt*1e3:8.1f} ms (+/- {np.std(batch_times)*1e3:.1f}) "
+          "(retrieve_pair + union tokenize, production placer)")
     print(f"fused  : {ft*1e3:8.1f} ms/step "
-          f"(+/- {np.std(fused_times)*1e3:.1f}) "
-          f"[vs grad+update {gu*1e3:.1f} ms] (loss {loss2:.3f})")
+          f"(+/- {np.std(fused_times)*1e3:.1f}) {vs}(loss {loss2:.3f})")
+    print(f"step   : {(bt+ft)*1e3:8.1f} ms -> "
+          f"{args.batch/(bt+ft):.2f} examples/sec/chip")
 
 
 if __name__ == "__main__":
