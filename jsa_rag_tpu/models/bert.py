@@ -154,9 +154,14 @@ def bert_hidden(
     b, s = input_ids.shape
     emb = params["embed"]
     pos = jnp.arange(s)[None, :]
+    # mode="clip": jnp.take's default OOB mode is "fill", which silently
+    # fills NaN — a sequence one token past max_positions would NaN the
+    # whole batch (and every downstream retrieval). Clipping degrades
+    # gracefully; callers clamp tokenization to max_positions anyway
+    # (rag_model.retriever_tokenize).
     x = (
-        jnp.take(emb["word"], input_ids, axis=0)
-        + jnp.take(emb["position"], pos, axis=0)
+        jnp.take(emb["word"], input_ids, axis=0, mode="clip")
+        + jnp.take(emb["position"], pos, axis=0, mode="clip")
         + emb["type"][0][None, None, :]
     )
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.ln_eps)

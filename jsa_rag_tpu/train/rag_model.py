@@ -92,9 +92,17 @@ class RAGModel:
 
     # ------------------------------------------------------------ tokenizing
     def retriever_tokenize(self, texts: list[str]):
-        max_len = min(self.opt.text_maxlength, BERT_MAX_SEQ_LENGTH)
+        max_len = self._retriever_max_len()
         ids, mask = self.retriever_tokenizer.encode_batch(texts, max_len)
         return ids, mask
+
+    def _retriever_max_len(self) -> int:
+        """Retriever tokenization length: text_maxlength clamped to the
+        tower's position table (a sequence past max_positions has no
+        position embedding — gathers clip, so tokens there would all share
+        the last position; truncate instead)."""
+        return min(self.opt.text_maxlength, BERT_MAX_SEQ_LENGTH,
+                   self.retriever.cfg.bert.max_positions)
 
     def passage_texts(self, ids_matrix: np.ndarray) -> list[list[dict]]:
         """(B, K) global passage ids -> passages (host-side resolution).
@@ -309,7 +317,7 @@ class RAGModel:
             lambda i, m: encode(tower, i, m),
             self.retriever_tokenizer,
             batch_size=self.opt.per_gpu_embedder_batch_size,
-            max_length=min(self.opt.text_maxlength, BERT_MAX_SEQ_LENGTH),
+            max_length=self._retriever_max_len(),
             passage_fmt=self.opt.retriever_format,
         )
         if iter_stats is not None:
