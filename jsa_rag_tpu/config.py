@@ -123,22 +123,31 @@ class Options:
 
     # ----- index (src/options.py:553-588)
     index_mode: str = "flat"  # flat | ivf | faiss (reference alias)
-    # fp16-bits is the production default: reference-parity memory
-    # (src/index.py:52) and the best measured recall vs a true-f32 oracle
-    # (0.9986/0.9995 @20/@100 at 1.3M x 1024 realistic-spectrum, vs bf16's
-    # 0.9929/0.9946 — docs/BENCHMARKS.md); bfloat16 is the max-throughput
-    # option, int8 the half-memory one; "hybrid" stores fp16 rows + a
-    # derived transposed int8 coarse copy (int8-scan speed at fp16 recall,
-    # 1.5x fp16 HBM); "int8r" is residual-int8 — two per-row int8 planes
-    # (value + residual), EXACT fp16 memory (2 B/elem) with the coarse scan
-    # reading only half of it at int8 MXU rate and the top-(r*k) rescore
-    # reconstructing ~14-bit precision (> fp16) from both planes
-    index_dtype: str = "float16"
+    # "int8r" (residual-int8) is the production default since round 4: two
+    # per-row int8 planes (value + residual-of-value) at EXACTLY fp16's
+    # 2 bytes/element (reference-parity memory, src/index.py:52). The
+    # coarse scan reads only plane 1 (1 B/elem at int8 MXU rate) and the
+    # top-(r*k) rescore reconstructs ~14-bit precision (> fp16's 11) —
+    # measured 0.9995/0.9998 recall@20/@100 at 21.4k qps/chip vs fp16's
+    # 0.9986/0.9995 at 14.5k (1.3M x 1024 realistic-spectrum,
+    # docs/BENCHMARKS.md round-4 frontier: int8r dominates fp16 on both
+    # axes at equal HBM, so the default flipped per VERDICT r3 item 3).
+    # float16 keeps the reference's exact storage; bfloat16 is the
+    # max-throughput 2-byte scan (0.9929/0.9946); int8 the half-memory
+    # option; "hybrid" stores fp16 rows + a derived transposed int8
+    # coarse copy (fp16 recall at int8-scan speed, 1.5x fp16 HBM)
+    index_dtype: str = "int8r"
     # fp16 refine-rescore candidate gather: "cols" gathers strided columns
     # of the (d, N) store (no extra HBM); "rows" keeps a row-major copy for
     # contiguous gathers (2x index HBM) — A/B via
     # scripts/analysis/refine_bench.py before flipping the default
     refine_gather: str = "cols"
+    # int8r rescore strategy: "rows" (default) = two-plane-quantized query
+    # (the coarse kernel emits the exact plane-1 score; refine adds the
+    # plane-2 term from contiguous rows — no strided gather); "rows1" =
+    # single-plane query at coarse-scan speed (max throughput, recall
+    # ~0.994); "cols" = legacy full reconstruction via column gather
+    int8r_refine: str = "rows"
     # reference FAISS flags (src/options.py:553-588): with
     # --index_mode faiss, faiss_index_type selects flat / ivfflat / ivfsq /
     # ivfpq / pq; faiss_code_size is the PQ bytes-per-vector (flagship: 32,

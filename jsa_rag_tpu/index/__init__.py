@@ -38,7 +38,8 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
                               refine=opt.ivf_refine)
     else:
         idx = ShardedFlatIndex(mesh, n_passages, dim, dtype=dtype,
-                               refine_gather=opt.refine_gather)
+                               refine_gather=opt.refine_gather,
+                               int8r_refine=opt.int8r_refine)
     idx.refine_r = opt.refine_r
     return idx
 
@@ -46,7 +47,8 @@ def build_index_for(opt, n_passages: int, dim: int, mesh):
 def load_index(path: str, mesh, method: str = "auto",
                expected_dim: int | None = None,
                refine_gather: str = "cols",
-               refine_r: int | None = None):
+               refine_r: int | None = None,
+               int8r_refine: str = "rows"):
     """Load a saved index, dispatching on its meta ``kind`` (flat / ivf).
     ``expected_dim`` validates against the live retriever's hidden size.
     ``refine_r`` overrides the rescore-pool width (--refine_r) so a loaded
@@ -63,6 +65,7 @@ def load_index(path: str, mesh, method: str = "auto",
     else:
         index = ShardedFlatIndex.load(path, mesh, method=method)
         index.refine_gather = refine_gather
+        index.int8r_refine = int8r_refine
     if refine_r is not None:
         index.refine_r = refine_r
     if expected_dim is not None and index.dim != expected_dim:

