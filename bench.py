@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Headline benchmark: top-100 MIPS query throughput per chip.
 
-Measures the fused Pallas matmul+k-select kernel over a 1.3M-passage bf16
-index at d=1024 — the flagship geometry: bge-large-en embeddings
+Measures the fused Pallas matmul+k-select kernel over a 1.3M-passage index
+in the PRODUCTION DEFAULT storage mode (derived from Options.index_dtype,
+so the headline always measures the path users get) at d=1024 — the
+flagship geometry: bge-large-en embeddings
 (src/index_io.py:92) and a v5e-16 shard of the 21M-passage corpus — on the
 local accelerator (BASELINE.md target: >10k top-100 queries/sec/chip).
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
@@ -80,7 +82,19 @@ def main():
         n_pad = -(-n // 2048) * 2048
         return jnp.pad(bt, ((0, 0), (0, n_pad - n)))
 
-    pin_env = os.environ.get("BENCH_METHOD", "pallas2f16t")
+    # the headline MUST measure the shipping default path: derive the
+    # method from Options so a config default flip cannot silently leave
+    # the headline measuring something else (VERDICT r4 item 1)
+    from jsa_rag_tpu.config import Options
+
+    _opt_defaults = Options()
+    _default_method = {
+        "int8r": "int8r", "float16": "pallas2f16t", "bfloat16": "pallas2t",
+        "int8": "int8t", "hybrid": "hybrid", "float32": "pallas2t",
+    }[_opt_defaults.index_dtype]
+    if _default_method == "int8r" and _opt_defaults.int8r_refine == "rows1":
+        _default_method = "int8r_rows1"
+    pin_env = os.environ.get("BENCH_METHOD", _default_method)
 
     @jax.jit
     def make_index_hybrid(key):
@@ -96,12 +110,55 @@ def main():
                 jnp.pad(s.reshape(1, n), ((0, 0), (0, n_pad - n))),
                 bits_rows)
 
-    e = make_index(jax.random.PRNGKey(0))
-    et = make_index_t(jax.random.PRNGKey(0))
-    ebt = make_index_f16_t(jax.random.PRNGKey(0)) if on_tpu else None
+    @jax.jit
+    def make_index_int8r(key):
+        # the production DEFAULT storage (--index_dtype int8r): residual
+        # int8 — plane-1 transposed coarse store + per-column scales,
+        # plane-2 row-major residual codes + scales (fp16 memory parity).
+        # Generated + quantized in row CHUNKS via lax.map: a monolithic
+        # quantize of (n, d) f32 holds ~11 GB of intermediates and OOMs
+        # the chip next to the floor's bf16 store. Pad rows get garbage
+        # codes; valid_n=n masks them in-kernel like every other store.
+        from jsa_rag_tpu.ops.mips_pallas2 import quantize_int8_residual
+
+        n_pad = -(-n // 2048) * 2048
+        chunk = 2048
+        while n_pad % (chunk * 2) == 0 and chunk < 65536:
+            chunk *= 2
+        n_chunks = n_pad // chunk
+
+        def one(i):
+            x = jax.random.normal(jax.random.fold_in(key, i),
+                                  (chunk, d), jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            v1, s1, v2, s2 = quantize_int8_residual(x)
+            return v1, s1[:, 0], v2, s2[:, 0]
+
+        v1, s1, v2, s2 = jax.lax.map(one, jnp.arange(n_chunks))
+        return (v1.reshape(n_pad, d).T,
+                s1.reshape(1, n_pad),
+                v2.reshape(n_pad, d),
+                s2.reshape(1, n_pad))
+
+    # materialize ONLY the stores the pinned method needs (plus the bf16
+    # transposed store for the floor program): at flagship geometry every
+    # store is 1.3-2.7 GB and building all of them OOMs the 16 GB chip
+    # when the int8r planes (+ their f32 quantization intermediates) are
+    # also resident
+    _needs = {"pallas2f16t": "ebt", "pallas2f16t_exact": "ebt",
+              "pallas2t": "et", "pallas2": "e", "approx": "e",
+              "pallas": "e", "hybrid": "hyb", "int8r": "i8r",
+              "int8r_rows1": "i8r"}
+    need = _needs.get(pin_env, "e") if on_tpu else "e"
+    e = make_index(jax.random.PRNGKey(0)) if (need == "e"
+                                              or not on_tpu) else None
+    et = make_index_t(jax.random.PRNGKey(0))  # floor (and pallas2t)
+    ebt = (make_index_f16_t(jax.random.PRNGKey(0))
+           if on_tpu and need == "ebt" else None)
     hyb = (make_index_hybrid(jax.random.PRNGKey(0))
-           if on_tpu and pin_env == "hybrid" else None)
-    jax.block_until_ready(e)
+           if on_tpu and need == "hyb" else None)
+    i8r = (make_index_int8r(jax.random.PRNGKey(0))
+           if on_tpu and need == "i8r" else None)
     jax.block_until_ready(et)
     rng = np.random.default_rng(0)
     qs = [jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
@@ -109,8 +166,21 @@ def main():
 
     tq = 256 if b >= 256 else 128
     methods = {
-        # the production default: fp16 storage, bf16-speed coarse scan +
-        # f32 refine of the top-4k (ops/mips.py int16 dispatch)
+        # the production DEFAULT (--index_dtype int8r, int8r_refine rows):
+        # two-plane-query int8 coarse scan + rows-gathered plane-2 rescore
+        # (measured 0.9995/0.9998 recall@20/@100, docs/BENCHMARKS.md r4/r5)
+        "int8r": lambda q: mips_topk_pallas2_int8_t(
+            q, i8r[0], i8r[1], k, tile_q=tq, valid_n=n, pool_n=n,
+            refine=4, res_rows=i8r[2], res_scale=i8r[3],
+            int8r_refine="rows"),
+        # --int8r_refine rows1: single-plane query, max throughput
+        # (recall 0.994 — still over the >=0.99 bar)
+        "int8r_rows1": lambda q: mips_topk_pallas2_int8_t(
+            q, i8r[0], i8r[1], k, tile_q=tq, valid_n=n, pool_n=n,
+            refine=4, res_rows=i8r[2], res_scale=i8r[3],
+            int8r_refine="rows1"),
+        # --index_dtype float16 (the reference's storage): bf16-speed
+        # coarse scan + f32 refine of the top-4k (ops/mips.py dispatch)
         "pallas2f16t": lambda q: mips_topk_pallas2_f16_t(
             q, ebt, k, tile_q=tq, valid_n=n, pool_n=n, refine=4),
         "pallas2f16t_exact": lambda q: mips_topk_pallas2_f16_t(
@@ -131,8 +201,8 @@ def main():
         # override must win over a pinned TPU method
         methods = {"approx": methods["approx"]}
     else:
-        # headline = the production default path (fp16-bits transposed
-        # storage, ShardedFlatIndex default); pin another via BENCH_METHOD
+        # headline = the production default path (derived from
+        # Options.index_dtype above); pin another via BENCH_METHOD
         if pin_env:
             methods = {pin_env: methods[pin_env]}
 

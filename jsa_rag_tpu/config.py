@@ -128,10 +128,13 @@ class Options:
     # 2 bytes/element (reference-parity memory, src/index.py:52). The
     # coarse scan reads only plane 1 (1 B/elem at int8 MXU rate) and the
     # top-(r*k) rescore reconstructs ~14-bit precision (> fp16's 11) —
-    # measured 0.9995/0.9998 recall@20/@100 at 21.4k qps/chip vs fp16's
-    # 0.9986/0.9995 at 14.5k (1.3M x 1024 realistic-spectrum,
-    # docs/BENCHMARKS.md round-4 frontier: int8r dominates fp16 on both
-    # axes at equal HBM, so the default flipped per VERDICT r3 item 3).
+    # measured 0.9995/0.9998 recall@20/@100 (round-4 frontier) at
+    # 21.0k qps/chip THROUGH ShardedFlatIndex.search (round-5 gap probe,
+    # same session: raw kernel 21.2k, fp16_t refine 14-15k; the round-4
+    # "5.5k production-path gap" was a harness artifact — per-iteration
+    # host query uploads — see docs/BENCHMARKS.md round-5 section).
+    # int8r dominates fp16 on both axes at equal HBM, so the default
+    # flipped per VERDICT r3 item 3.
     # float16 keeps the reference's exact storage; bfloat16 is the
     # max-throughput 2-byte scan (0.9929/0.9946); int8 the half-memory
     # option; "hybrid" stores fp16 rows + a derived transposed int8

@@ -64,6 +64,16 @@ def load_index(path: str, mesh, method: str = "auto",
         index = ShardedIVFIndex.load(path, mesh)
     else:
         index = ShardedFlatIndex.load(path, mesh, method=method)
+        # same validation as ShardedFlatIndex.__init__ — a typo here would
+        # otherwise silently fall through to the legacy 'cols' path
+        if refine_gather not in ("cols", "rows"):
+            raise ValueError(
+                f"refine_gather must be 'cols' or 'rows', got "
+                f"{refine_gather!r}")
+        if int8r_refine not in ("rows", "rows1", "cols"):
+            raise ValueError(
+                f"int8r_refine must be rows|rows1|cols, got "
+                f"{int8r_refine!r}")
         index.refine_gather = refine_gather
         index.int8r_refine = int8r_refine
     if refine_r is not None:

@@ -100,10 +100,13 @@ def _search_one_shard(q, emb_shard, aux_shard=None, scale_shard=None,
     shard_pos = jax.lax.axis_index(axes)
     if int8r:
         # residual-int8: int8 coarse scan over the (d, shard) plane-1 block
-        # (aux_shard = its per-column scales), then the two-plane f32
-        # reconstruction rescore (scale_shard = (shard_rows, d) residual
-        # codes, res_scale_shard = (1, shard) residual scales) — fp16-grade
-        # final precision at fp16's 2 bytes/element, coarse reads half
+        # (aux_shard = its per-column scales), then the strategy-dependent
+        # rescore picked by ``int8r_refine`` (scale_shard = (shard_rows, d)
+        # residual codes, res_scale_shard = (1, shard) residual scales):
+        # "rows"/"rows1" add the plane-2 term from the contiguous rows
+        # store; "cols" is the legacy full two-plane reconstruction via
+        # strided column gather. fp16-grade final precision at fp16's
+        # 2 bytes/element, coarse reads half
         from ..ops.mips_pallas2 import mips_topk_pallas2_int8_t
 
         n_valid = jnp.clip(n_true - shard_pos * shard_rows, 0, shard_rows)

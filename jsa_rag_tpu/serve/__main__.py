@@ -42,6 +42,15 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--refine_r", type=int, default=4,
                     help="rescore-pool widening for coarse-refine search "
                          "(same meaning as the train/evaluate flag)")
+    ap.add_argument("--refine_gather", default="cols",
+                    choices=("cols", "rows"),
+                    help="fp16 refine candidate gather: strided columns "
+                         "(no extra HBM) or a row-major copy (2x index "
+                         "HBM, faster rescore)")
+    ap.add_argument("--int8r_refine", default="rows",
+                    choices=("rows", "rows1", "cols"),
+                    help="int8r rescore strategy (same meaning as the "
+                         "train/evaluate flag)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -59,7 +68,9 @@ def main(argv=None, block: bool = True):
         ap.error("one of --passages / --mmap_store is required")
 
     mesh = make_mesh(n_data=1)
-    index = load_index(args.index_path, mesh, refine_r=args.refine_r)
+    index = load_index(args.index_path, mesh, refine_r=args.refine_r,
+                       refine_gather=args.refine_gather,
+                       int8r_refine=args.int8r_refine)
     if len(store) != index.n_passages:
         raise SystemExit(
             f"passage store has {len(store)} rows but the index holds "

@@ -173,8 +173,8 @@ def filter_results_by_id(batch_metadata, passages, scores, topk,
     the result would fall short of topk (src/tasks/base.py:97-132)."""
     if batch_metadata is None:
         logger.warning(
-            "Trying to filter a batch with no metadata - probably a padding "
-            "instance - just return the topk")
+            "filter_results_by_id got a batch without metadata (likely a "
+            "padding instance); returning the unfiltered topk")
         return [ps[:topk] for ps in passages], [ss[:topk] for ss in scores]
 
     output_passages, output_scores = [], []

@@ -86,6 +86,31 @@ def main():
             rng.shuffle(train_ids)
             for i in train_ids:
                 f.write(json.dumps(row(i)) + "\n")
+
+    # generator COPY-pretraining file: same train topics, but the code is
+    # resampled PER EXAMPLE (from the global code pool, so a tokenizer
+    # built over passages covers every token) and substituted into both
+    # the inline gold passage and the answer. question->code is then
+    # random per row — memorization cannot reduce the loss, only the
+    # retrieve-then-copy circuit can. (A per-topic-fixed code, as in
+    # train.jsonl, is trivially memorizable: measured EM-with-gold 0.92
+    # on train topics / 0.05 on unseen before this file existed.)
+    # train.jsonl keeps corpus-consistent codes: the joint phase's
+    # targets must match what retrieval actually returns.
+    def gen_row(i):
+        a, b = topics[i]
+        fresh = codes[rng.randrange(len(codes))]
+        p = passage(i)
+        p["text"] = (f"notes about {p_words[a]} {p_words[b]} . "
+                     f"the secret code is {fresh}")
+        return {"question": question(i), "answers": [fresh],
+                "passages": [p]}
+
+    with open(os.path.join(args.out, "gen_pretrain.jsonl"), "w") as f:
+        for _ in range(args.train_per_topic):
+            rng.shuffle(train_ids)
+            for i in train_ids:
+                f.write(json.dumps(gen_row(i)) + "\n")
     with open(os.path.join(args.out, "dev.jsonl"), "w") as f:
         for i in rng.sample(eval_ids, min(args.n_eval, len(eval_ids))):
             f.write(json.dumps(row(i)) + "\n")

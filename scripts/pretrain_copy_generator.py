@@ -46,6 +46,12 @@ def load_generator(path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/tmp/hardcopy")
+    ap.add_argument("--train_file", default=None,
+                    help="training jsonl; defaults to gen_pretrain.jsonl "
+                         "(per-example fresh codes — forces the copy "
+                         "circuit; train.jsonl's per-topic-fixed codes "
+                         "are memorizable and do NOT generalize) when it "
+                         "exists, else train.jsonl")
     ap.add_argument("--encoder", default="docs/demo/artifacts/hard_encoder.pkl")
     ap.add_argument("--out", default="docs/demo/artifacts/hard_generator.pkl")
     ap.add_argument("--steps", type=int, default=1200)
@@ -82,10 +88,16 @@ def main():
     gen_params = lm_init(jax.random.PRNGKey(0), lmc)
     params = {"retriever": ret_params, "generator": gen_params}
 
+    train_file = args.train_file or os.path.join(args.data,
+                                                 "gen_pretrain.jsonl")
+    if not os.path.exists(train_file):
+        train_file = os.path.join(args.data, "train.jsonl")
+    print(f"pretraining on {train_file}")
+
     opt = Options(task="qa", gold_score_mode="concat",
                   use_file_passages=True,
                   qa_prompt_format="{question}",
-                  train_data=[os.path.join(args.data, "train.jsonl")],
+                  train_data=[train_file],
                   eval_data=[os.path.join(args.data, "dev.jsonl")],
                   n_context=1, text_maxlength=96, target_maxlength=8,
                   generation_max_length=4,

@@ -52,7 +52,10 @@ def test_int8r_kernel_matches_reconstruction_oracle():
     v1, s1, v2, s2 = quantize_int8_residual(jnp.asarray(e))
     oracle = q @ _recon(e).T
     oi = np.argsort(-oracle, axis=1, kind="stable")[:, :k]
-    for strategy, atol in (("cols", 1e-6), ("rows", 1e-4)):
+    # "rows1" keeps the single-plane query: its coarse term carries the
+    # query-quantization error (~2e-3 on unit scores) but must still hold
+    # gold top-1 and the recall floor
+    for strategy, atol in (("cols", 1e-6), ("rows", 1e-4), ("rows1", 3e-3)):
         s, i = mips_topk_pallas2_int8_t(
             jnp.asarray(q), v1.T, s1.reshape(1, -1), k,
             refine=6, res_rows=v2, res_scale=s2.reshape(1, -1),
