@@ -7,8 +7,17 @@ scores ~chance here. The committed artifacts were produced by:
 
   scripts/pretrain_hard_encoder.py   — 2-layer tied encoder, contrastive
                                        InfoNCE on train-topic pairs
-  scripts/pretrain_copy_generator.py — concat-mode copy pretraining with
-                                       gold passages (use_file_passages)
+  scripts/pretrain_copy_generator.py — concat-mode copy pretraining on
+                                       gen_pretrain.jsonl: gold passages
+                                       (use_file_passages) with the code
+                                       resampled PER EXAMPLE
+
+The per-example fresh codes matter (round-4 postmortem): pretraining on
+train.jsonl's per-topic-FIXED codes let the generator memorize
+question->code (train EM-with-gold 0.92, UNSEEN 0.05 — the committed
+round-4 artifact and its all-zero metrics). With fresh codes memorization
+cannot reduce the loss, so the model learns the generalizing
+retrieve-then-copy circuit: EM-with-gold 0.955 on unseen topics.
 
 This script is the reference-shaped composition (pretrained retriever +
 copy-capable generator -> zero-shot RAG -> joint fine-tune with in-loop

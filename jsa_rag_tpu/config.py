@@ -196,6 +196,10 @@ class Options:
     gen_doc_scores: float = 0.01
     task: str = "qa"
     write_results: bool = False
+    # eval_loss is a separate full B*K generator CE program here (the
+    # reference computes it inside its training forward); turn it off
+    # when only generation metrics are wanted
+    compute_eval_loss: bool = True
 
     # ----- mesh / TPU (new; replaces slurm/torchrun flags, src/slurm.py)
     mesh_data: int = 1

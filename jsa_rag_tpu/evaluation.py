@@ -110,8 +110,11 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 
         # eval loss: generator CE of the gold target given each passage —
         # a full B*K generator forward, so only run it for tasks that
-        # actually report eval_loss
-        if "eval_loss" in metrics:
+        # actually report eval_loss (and skippable outright via
+        # --compute_eval_loss false when only generation metrics are
+        # wanted; the reference gets it for free inside its forward,
+        # here it is a separate program)
+        if "eval_loss" in metrics and opt.compute_eval_loss:
             from .data.prompts import build_training_batch
 
             ids, labels, mask = build_training_batch(

@@ -215,3 +215,52 @@ def import_atlas_retriever_towers(checkpoint_path: str, n_layers: int
     if q is None and p is None:
         return None
     return q or p, p or q
+
+
+def main(argv=None):
+    """CLI for the reference-format interop (mirrors the reference's
+    offline index tooling, get_data/preprocessing/download_index.py +
+    src/index.py:62-112):
+
+      python -m jsa_rag_tpu.index.atlas_io convert <atlas_dir> <out_dir>
+      python -m jsa_rag_tpu.index.atlas_io export <saved_index_dir> \
+          <passages.jsonl> <atlas_out_dir> [--shards N]
+
+    ``convert`` turns a reference/Atlas sharded index into our
+    ``load_index``-able layout; ``export`` does the reverse from a
+    ``ShardedFlatIndex.save`` directory.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert")
+    c.add_argument("src")
+    c.add_argument("dst")
+    c.add_argument("--n_shards", type=int, default=None)
+    e = sub.add_parser("export")
+    e.add_argument("index_dir")
+    e.add_argument("passages")
+    e.add_argument("dst")
+    e.add_argument("--shards", type=int, default=ATLAS_N_SHARDS)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "convert":
+        meta = convert_atlas_index(args.src, args.dst,
+                                   n_shards=args.n_shards)
+        print(json.dumps(meta))
+    else:
+        from ..data.passages import load_passages_jsonl
+        from ..parallel.mesh import make_mesh
+        from . import load_index
+
+        index = load_index(args.index_dir, make_mesh(n_data=1))
+        passages = load_passages_jsonl([args.passages])
+        save_index_atlas_format(index, passages, args.dst,
+                                total_saved_shards=args.shards)
+        print(json.dumps({"exported": index.n_passages,
+                          "shards": args.shards, "dst": args.dst}))
+
+
+if __name__ == "__main__":
+    main()

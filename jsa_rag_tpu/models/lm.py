@@ -646,7 +646,8 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
                   *, max_new_tokens: int, eos_id: int, pad_id: int,
                   num_beams: int, length_penalty: float = 1.0,
                   min_new_tokens: int = 0,
-                  forced_prefix=None, forced_len=None) -> jax.Array:
+                  forced_prefix=None, forced_len=None,
+                  return_logprobs: bool = False) -> jax.Array:
     """Beam-search decode (HF-parity semantics) as one ``lax.while_loop``.
 
     Replicates transformers' vectorized ``_beam_search`` with
@@ -682,7 +683,12 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
     and the K-way prompt-cache duplication.
 
     ``input_ids`` must be LEFT-padded. Returns (B, max_new_tokens) ids of
-    each batch row's best finished hypothesis (EOS included, pad after).
+    each batch row's best finished hypothesis (EOS included, pad after);
+    with ``return_logprobs`` also its per-token log-probs ((B, T) f32,
+    0 in the pad tail) — tracked in buffers parallel to the sequences
+    (each candidate's token log-prob is ``cand_score - run_score[src]``),
+    so selection-by-score needs no second scoring forward (HF
+    ``output_scores`` parity; reference consumes it at src/rag.py:2286).
     """
     b, prompt_len = input_ids.shape
     k = num_beams
@@ -711,6 +717,9 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
     run_scores = jnp.full((b, k), neg).at[:, 0].set(0.0)   # beam 0 only
     seqs = jnp.full((b, k, t_max), pad_id, jnp.int32)
     fin_seqs = jnp.full((b, k, t_max), pad_id, jnp.int32)
+    # per-token log-probs, parallel to seqs/fin_seqs (pad slots stay 0)
+    lp_seqs = jnp.zeros((b, k, t_max), jnp.float32)
+    fin_lps = jnp.zeros((b, k, t_max), jnp.float32)
     fin_scores = jnp.full((b, k), neg)
     is_fin = jnp.zeros((b, k), bool)
     unsat = jnp.ones((b,), bool)  # early-stop heuristic not yet satisfied
@@ -718,7 +727,7 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
 
     def step(carry):
         t, logits, run_scores, seqs, fin_seqs, fin_scores, is_fin, unsat, \
-            gen_cache, ancestry = carry
+            gen_cache, ancestry, lp_seqs, fin_lps = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if min_new_tokens:
             logp = jnp.where(
@@ -741,12 +750,23 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
         cand_seqs = jax.lax.dynamic_update_index_in_dim(
             cand_seqs.transpose(2, 0, 1), tok, t, axis=0
         ).transpose(1, 2, 0)
+        # this step's token log-prob per candidate: acc = run + logp, so
+        # the increment is the candidate score minus its source beam's
+        # running score
+        tok_lp = cand_scores - jnp.take_along_axis(run_scores, beam_src,
+                                                   axis=1)
+        cand_lps = jnp.take_along_axis(
+            lp_seqs, beam_src[:, :, None], axis=1)         # (B, 2K, T)
+        cand_lps = jax.lax.dynamic_update_index_in_dim(
+            cand_lps.transpose(2, 0, 1), tok_lp, t, axis=0
+        ).transpose(1, 2, 0)
         hits = (tok == eos_id) | (t == t_max - 1)          # stopping criteria
 
         # running beams for the next iteration (HF keeps the masked score)
         run_masked = cand_scores + hits.astype(jnp.float32) * neg
         new_run_scores, sel = jax.lax.top_k(run_masked, k)  # (B, K)
         new_seqs = jnp.take_along_axis(cand_seqs, sel[:, :, None], axis=1)
+        new_lp_seqs = jnp.take_along_axis(cand_lps, sel[:, :, None], axis=1)
         sel_beam_src = jnp.take_along_axis(beam_src, sel, axis=1)
         sel_tok = jnp.take_along_axis(tok, sel, axis=1)
 
@@ -756,10 +776,13 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
         gated = jnp.where(did_finish & unsat[:, None], norm, neg)
         merged_scores = jnp.concatenate([fin_scores, gated], axis=1)
         merged_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        merged_lps = jnp.concatenate([fin_lps, cand_lps], axis=1)
         merged_fin = jnp.concatenate([is_fin, did_finish], axis=1)
         new_fin_scores, fsel = jax.lax.top_k(merged_scores, k)
         new_fin_seqs = jnp.take_along_axis(
             merged_seqs, fsel[:, :, None], axis=1)
+        new_fin_lps = jnp.take_along_axis(
+            merged_lps, fsel[:, :, None], axis=1)
         new_is_fin = jnp.take_along_axis(merged_fin, fsel, axis=1)
 
         # beam reorder = permute the (B, K, T) int32 ancestry, NOT the KV
@@ -791,7 +814,7 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
 
         return (t + 1, new_logits, new_run_scores, new_seqs, new_fin_seqs,
                 new_fin_scores, new_is_fin, new_unsat, new_gen_cache,
-                new_anc)
+                new_anc, new_lp_seqs, new_fin_lps)
 
     def unfinished(carry):
         # HF's early loop exit, on-device: once every row's early-stop
@@ -801,7 +824,11 @@ def beam_generate(params: Params, cfg: LMConfig, input_ids, attention_mask,
         return (carry[0] < t_max) & jnp.any(carry[7])
 
     carry = (jnp.int32(0), first_logits, run_scores, seqs, fin_seqs,
-             fin_scores, is_fin, unsat, gen_cache, ancestry)
+             fin_scores, is_fin, unsat, gen_cache, ancestry, lp_seqs,
+             fin_lps)
     carry = jax.lax.while_loop(unfinished, step, carry)
     fin_seqs = carry[4]
-    return fin_seqs[:, 0]  # scores kept sorted desc; beam 0 is the best
+    if return_logprobs:
+        # scores kept sorted desc; beam 0 is the best
+        return fin_seqs[:, 0], carry[11][:, 0]
+    return fin_seqs[:, 0]

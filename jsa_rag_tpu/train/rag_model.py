@@ -635,9 +635,11 @@ class RAGModel:
                 gen_params, self.gen_cfg, jnp.asarray(gids),
                 jnp.asarray(gmask), num_beams=beams,
                 length_penalty=self.opt.generation_length_penalty,
-                min_new_tokens=self.opt.generation_min_length or 0, **kw)
+                min_new_tokens=self.opt.generation_min_length or 0,
+                return_logprobs=return_logprobs, **kw)
             if return_logprobs:
-                return np.asarray(out), None  # beam path: rescore separately
+                toks, lps = out
+                return np.asarray(toks), np.asarray(lps)
         else:
             out = greedy_generate(
                 gen_params, self.gen_cfg, jnp.asarray(gids),
@@ -686,16 +688,10 @@ class RAGModel:
         gen, lps = self.generate(params, queries, passages,
                                  max_new_tokens=max_new_tokens,
                                  return_logprobs=True)  # (B*K, L_new)
-        if lps is not None:
-            # greedy decode already captured per-token log-probs
-            # (output_scores parity, src/rag.py:2286-2292): length-
-            # normalized sequence score with no extra generator forward
-            sent_logp = self._greedy_sent_logp(gen, lps)
-        else:
-            # beam decode: score the continuations with one forward
-            sent_logp = self._score_generations(params, queries, passages,
-                                                gen)
-        sent_logp = sent_logp.reshape(b, k)
+        # both decode paths capture per-token log-probs in the decode
+        # itself (output_scores parity, src/rag.py:2286-2292): length-
+        # normalized sequence score with no extra generator forward
+        sent_logp = self._greedy_sent_logp(gen, lps).reshape(b, k)
         ret = np.asarray(ret_scores, np.float32)
         if self.opt.gen_method == "fast_deocde2":
             total = sent_logp + ret / self.opt.gen_doc_scores
@@ -710,11 +706,13 @@ class RAGModel:
         return gen[np.arange(b), best], gen
 
     def _greedy_sent_logp(self, gen, lps):
-        """Length-normalized sequence score from greedy decode's captured
-        per-token log-probs. Numerator and denominator use the SAME
-        (gen != pad) mask — production tokenizers set pad == eos, so the
-        emitted EOS reads as pad and must drop out of both, matching
-        ``_score_generations`` (which the beam path still uses)."""
+        """Length-normalized sequence score from the decode's captured
+        per-token log-probs (greedy AND beam both return them; no second
+        scoring forward on either path). Numerator and denominator use
+        the SAME (gen != pad) mask — production tokenizers set pad == eos,
+        so the emitted EOS reads as pad and must drop out of both,
+        matching ``_score_generations`` (kept as the slow-path oracle the
+        tests verify against)."""
         tok_mask = gen != self.generator_tokenizer.pad_id
         n_tok = np.maximum(tok_mask.sum(-1), 1)
         return (lps * tok_mask).sum(-1) / n_tok

@@ -60,6 +60,11 @@ def main(argv=None):
                     help="pq+rerank row: oversample factor before exact "
                          "rescoring (the framework's retrieve_with_rerank "
                          "path, reference src/rag.py:177-247)")
+    ap.add_argument("--time_qps", action="store_true",
+                    help="also time each storage mode's search (chained-"
+                         "dependency harness, n_probe 16/64) — pairs the "
+                         "recall sweep with on-chip throughput")
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--device_corpus", action="store_true",
                     help="generate the corpus ON DEVICE in chunks (same "
                          "clustered distribution) instead of uploading a "
@@ -133,6 +138,30 @@ def main(argv=None):
 
     n_lists = args.n_lists or auto_n_lists(args.n)
     rows = []
+
+    def time_search(search_fn, label):
+        """Chained-dependency qps (tunnel-safe; see bench.py): queries
+        stay ON DEVICE between iterations."""
+        import time
+
+        qd = jnp.asarray(q)
+
+        def chain(m):
+            carry = jnp.zeros((q.shape[0], 1), jnp.float32)
+            for _ in range(m):
+                v, _ = search_fn(qd + carry * 0)
+                carry = carry + v[:, :1] * 1e-9
+            np.asarray(carry)
+
+        chain(2)
+        t0 = time.time()
+        chain(args.iters)
+        dt = time.time() - t0 - 0.026
+        qps = args.iters * q.shape[0] / max(dt, 1e-9)
+        row = {"qps_arm": label, "qps": round(qps, 1),
+               "b": q.shape[0], "n": args.n}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     for storage, bpv in [("dense", 2 * args.d),     # bf16
                          ("sq8", args.d + 4),       # int8 + f32 scale
                          ("pq", args.code_size)]:
@@ -148,6 +177,12 @@ def main(argv=None):
                          "n_probe": n_probe, "n_lists": n_lists,
                          f"recall@{args.k}": round(rec, 4)})
             print(json.dumps(rows[-1]), flush=True)
+        if args.time_qps:
+            for n_probe in (16, 64):
+                time_search(
+                    lambda qq, np_=n_probe: ivf.search(qq, args.k,
+                                                       n_probe=np_),
+                    f"{storage}@nprobe{n_probe}")
         if storage in ("sq8", "pq"):
             # in-index exact reranking (--ivf_refine; the FAISS
             # IndexRefineFlat capability): fp16 copy rescored on-device
@@ -167,6 +202,10 @@ def main(argv=None):
                              "n_probe": n_probe, "n_lists": n_lists,
                              f"recall@{args.k}": round(rec, 4)})
                 print(json.dumps(rows[-1]), flush=True)
+            if args.time_qps:
+                time_search(
+                    lambda qq: ivf_r.search(qq, args.k, n_probe=64),
+                    f"{storage}+refine@nprobe64")
             del ivf_r
         if storage == "pq" and args.rerank_factor > 1:
             # quality-recovery path: PQ generates rerank_factor*k candidates,

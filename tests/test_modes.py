@@ -171,6 +171,33 @@ def test_greedy_score_matches_rescoring_when_pad_is_eos(setup):
         tok.pad_id = old_pad
 
 
+def test_beam_logprobs_match_rescoring(setup):
+    """Beam decode captures the winning hypothesis's per-token log-probs
+    in the search itself (VERDICT r4 item 7): the fast-path sequence score
+    must match a full rescoring forward of the returned tokens, so
+    ``method_generate`` under ``generation_num_beams > 1`` needs no
+    second generator pass."""
+    model, index, params = setup
+    model.opt.generation_num_beams = 3
+    try:
+        _, _, passages = model.retrieve(index, params, QUERIES,
+                                        model.opt.n_context)
+        gen, lps = model.generate(params, QUERIES, passages,
+                                  max_new_tokens=4, return_logprobs=True)
+        assert lps is not None and lps.shape == gen.shape
+        fast = np.asarray(model._greedy_sent_logp(gen, lps))
+        slow = np.asarray(model._score_generations(params, QUERIES,
+                                                   passages, gen))
+        np.testing.assert_allclose(fast, slow, rtol=1e-3, atol=1e-3)
+        # and the method_generate fast path runs end-to-end under beams
+        best, all_gen = model.method_generate(params, QUERIES, passages,
+                                              np.zeros((2, 3), np.float32),
+                                              max_new_tokens=4)
+        assert best.shape == (2, 4)
+    finally:
+        model.opt.generation_num_beams = 1
+
+
 def test_unil_postandprior_off_uses_posterior_topk(setup):
     """unil_postandprior=False: the JSA candidate set is the posterior's
     top-k alone, not the prior union (reference: src/rag.py:1873-1875)."""
