@@ -135,7 +135,11 @@ def main():
         f"+ GPT2TokenizerFast -> `{gpt2_dir}` (save_pretrained)\n")
 
     ckpt = os.path.join(WORK, "ckpt")
-    env = {"JAX_PLATFORMS": "cpu"}
+    # CPU for the CLI children: JAX_PLATFORMS alone is overridden by the
+    # axon sitecustomize (it pins the platform in-process); clearing
+    # PYTHONPATH skips the sitecustomize entirely (verify-skill recipe),
+    # keeping the real chip free for measurement campaigns
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": ""}
     run("train.py (HF towers, joint rag, refresh, export)",
         [sys.executable, "train.py",
          "--name", "hf-interop", "--checkpoint_dir", ckpt,
@@ -206,6 +210,16 @@ def main():
                 "reference lifecycle (pretrained HF towers -> joint "
                 "training with refresh -> checkpoint/index export -> "
                 "reference-format round-trip -> eval) through the CLIs.\n\n"
+                "Scope: this drive proves the INTEROP LIFECYCLE — genuine "
+                "`save_pretrained` artifacts consumed by path, weights "
+                "imported (see 'Loaded retriever/generator weights from' "
+                "in the logs), trained, checkpointed, index exported to "
+                "and re-imported from the reference's own on-disk format, "
+                "and evaluated. The HF models are RANDOM-weight 2-layer "
+                "stand-ins trained 30 steps, so EM/recall are at chance "
+                "by construction; learned-quality evidence lives in the "
+                "hard-copy demo (metrics-e2e-hard.jsonl: zero-shot EM "
+                "0.955 with a pretrained encoder).\n\n"
                 + "\n".join(_sections))
     print(f"wrote {TRANSCRIPT}")
 

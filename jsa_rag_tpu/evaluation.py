@@ -190,8 +190,18 @@ def evaluate(model: RAGModel, index, params, opt: Options, data_path: str,
 def run_retrieval_only(model: RAGModel, index, params, opt: Options,
                        data_path: str, step: int = 0) -> dict:
     """Retrieval-only eval (evaluate.py:60-102): substring recall and
-    coverage@k of the top retriever_n_context passages."""
-    task = get_task(opt, model.generator_tokenizer)
+    coverage@k of the top retriever_n_context passages.
+
+    ``--task retrieval`` is the CLI gate for this mode, not a registered
+    task module (the reference gates on ``--retrieve_only`` with the task
+    still qa, evaluate.py:378) — read the data through the qa task then."""
+    if opt.task == "retrieval":
+        import dataclasses as _dc
+
+        task = get_task(_dc.replace(opt, task="qa"),
+                        model.generator_tokenizer)
+    else:
+        task = get_task(opt, model.generator_tokenizer)
     stats = WeightedAvgStats()
     data_iterator = task.data_iterator(
         data_path, jax.process_index(), jax.process_count(), opt=opt,
