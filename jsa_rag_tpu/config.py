@@ -61,6 +61,17 @@ class Options:
     separate_learning_rates: bool = True
     shard_optim: bool = False  # FSDP-style optimizer-state sharding
     precision: str = "bf16"  # fp32 | fp16 | bf16
+    # Parameter STORAGE dtype (distinct from `precision`, the compute/
+    # activation policy). "float32" keeps full master weights — the
+    # reference's bf16-autocast-over-f32-masters semantics
+    # (src/util.py:173-238 + torch autocast). "bfloat16" stores the whole
+    # tree in bf16: at flagship geometry (bge-large towers + ~1B GQA
+    # generator) f32 masters + Adam state + a 1.3M-row index shard exceed
+    # one 16 GB v5e chip, so single-chip flagship runs need bf16 storage
+    # (multi-chip runs can keep f32 masters and shard them with
+    # --shard_optim instead). Adam's first moment stays f32 either way
+    # (train/optim.py mu_dtype).
+    param_dtype: str = "float32"  # float32 | bfloat16
 
     # ----- modeling (src/options.py:206-451)
     generator_model_type: str = "mistral"
@@ -219,6 +230,10 @@ class Options:
             self.retriever_n_context = 1
         if self.scheduler_steps is None:
             self.scheduler_steps = self.total_steps
+        if self.param_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"param_dtype must be float32|bfloat16, got "
+                f"{self.param_dtype!r}")
 
     # ------------------------------------------------------------- argparse
     @classmethod

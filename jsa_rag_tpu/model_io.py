@@ -203,4 +203,12 @@ def load_or_initialize_model(opt: Options, store: PassageStore):
         step = int(state["step"])
         logger.info("Restored checkpoint at step %d from %s", step,
                     opt.model_path)
+    if opt.param_dtype == "bfloat16":
+        # bf16 parameter STORAGE (see Options.param_dtype): cast every
+        # floating leaf after init/restore — checkpoints save whatever
+        # dtype the tree carries, so save/resume round-trips stay bf16
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
     return model, params, step

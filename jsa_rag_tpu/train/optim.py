@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..config import Options
@@ -88,9 +89,13 @@ def set_optim(opt: Options, params: dict):
                                   opt.scheduler_steps or opt.total_steps)
 
     def adamw(schedule):
+        # mu_dtype pins the first moment to f32 even under bf16 param
+        # storage (Options.param_dtype="bfloat16") — a bf16 EMA of grads
+        # loses the small-update tail; nu follows the param dtype (its
+        # magnitude spans decades, which bf16's exponent range covers)
         return optax.adamw(
             learning_rate=schedule, b1=0.9, b2=opt.beta2, eps=opt.epsilon,
-            weight_decay=opt.weight_decay,
+            weight_decay=opt.weight_decay, mu_dtype=jnp.float32,
         )
 
     labels = _label_tree(params, opt)

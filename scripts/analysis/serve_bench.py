@@ -40,8 +40,9 @@ def build_index(n: int, d: int, dtype: str, seed: int = 0):
     from jsa_rag_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(n_data=1)
-    index = ShardedFlatIndex(mesh, n, d, dtype=(dtype if dtype == "hybrid"
-                                                else jnp.dtype(dtype)))
+    index = ShardedFlatIndex(
+        mesh, n, d, dtype=(dtype if dtype in ("hybrid", "int8r")
+                           else jnp.dtype(dtype)))
 
     # generate + write on device in blocks (bulk host->device uploads
     # through the axon tunnel are slow and have wedged the relay)
@@ -113,7 +114,8 @@ def main():
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--d", type=int, default=256)
     ap.add_argument("--dtype", default="float16",
-                    help="index storage: float16|bfloat16|int8|hybrid")
+                    help="index storage: float16|bfloat16|int8|hybrid|"
+                         "int8r (the shipping default)")
     ap.add_argument("--bsz", type=int, default=8,
                     help="queries per request")
     ap.add_argument("--topk", type=int, default=100)
@@ -141,16 +143,26 @@ def main():
     # calibration floor: bare in-process sharded search at one request's
     # batch and at the max coalesced batch
     def bare_search_ms(rows: int) -> float:
+        # chained-dependency harness (bench.py convention): through the
+        # axon tunnel block_until_ready can return early and repeated
+        # identical calls may be replay-cached, so chain reps with a data
+        # dependency and fetch the final value; ~26 ms fixed fetch
+        # overhead subtracted
         q = jnp.asarray(np.random.default_rng(1)
                         .standard_normal((rows, args.d)), jnp.float32)
-        s, i = index.search(q, args.topk)  # warm compile
-        jax.block_until_ready((s, i))
+        reps = 8
+
+        def chain(m):
+            carry = jnp.zeros((rows, 1), jnp.float32)
+            for _ in range(m):
+                s, _ = index.search(q + carry * 0, args.topk)
+                carry = carry + s[:, :1] * 1e-9
+            np.asarray(carry)
+
+        chain(2)  # warm, incl. the chain glue
         t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            s, i = index.search(q, args.topk)
-            jax.block_until_ready((s, i))
-        return (time.perf_counter() - t0) / reps * 1e3
+        chain(reps)
+        return (time.perf_counter() - t0 - 0.026) / reps * 1e3
 
     clients_list = [int(c) for c in args.clients.split(",")]
     floor_1 = bare_search_ms(max(8, args.bsz))

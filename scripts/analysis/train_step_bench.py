@@ -67,8 +67,12 @@ def main():
                   query_side_retriever_training=True, decouple_encoder=True,
                   use_gradient_checkpoint_generator=True,
                   use_gradient_checkpoint_retriever=True,
-                  precision="bf16", temperature_jsa=0.1,
-                  weight_decay=0.01, dropout=0.1)
+                  precision="bf16", param_dtype="bfloat16",
+                  temperature_jsa=0.1, weight_decay=0.01, dropout=0.1)
+        # bf16 param storage is REQUIRED single-chip at this geometry:
+        # f32 masters (7.6 GB placed) + Adam state (5.3 GB) + the 1.3M
+        # fp16 index shard (2.5 GB) exceed the 16 GB v5e; multi-chip
+        # deployments keep f32 masters and shard them (--shard_optim)
     opt = Options(
         model_size=args.size, gold_score_mode="jsa", gen_method="jsa",
         n_context=args.n_context, mis_step=args.mis,
@@ -84,14 +88,23 @@ def main():
     dim = model.retriever.cfg.bert.hidden
     index = ShardedFlatIndex(mesh, len(store), dim)
 
-    @jax.jit
-    def random_rows(key):
-        e = jax.random.normal(key, (len(store), dim), jnp.float32)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def random_rows(key, rows):
+        e = jax.random.normal(key, (rows, dim), jnp.float32)
         return e / jnp.linalg.norm(e, axis=1, keepdims=True)
 
     # write through the index's own encoder (fp16 default stores raw bits;
-    # a direct astype would corrupt the storage representation)
-    index.set_embeddings(0, random_rows(jax.random.PRNGKey(1)))
+    # a direct astype would corrupt the storage representation); chunked —
+    # a single (1.3M, 1024) f32 source is 5.3 GB, which OOMs the 16 GB
+    # chip next to the flagship model params
+    chunk = 65536
+    for ci, s in enumerate(range(0, len(store), chunk)):
+        rows = min(chunk, len(store) - s)
+        index.set_embeddings(
+            s, random_rows(jax.random.fold_in(jax.random.PRNGKey(1), ci),
+                           rows))
     print(f"# setup {time.time()-t0:.1f}s: {args.size} geometry, "
           f"n={args.n}, B={args.batch}, mis={args.mis}, "
           f"K={args.n_context}, L={args.text_maxlength}")
@@ -169,8 +182,14 @@ def main():
             batch_times.append(t0 - tb)
             fused_times.append(time.time() - t0)
         assert np.isfinite(loss2), loss2
-    ft = float(np.mean(fused_times))
-    bt = float(np.mean(batch_times))
+    # median, not mean: a union-shape bucket first seen mid-run triggers
+    # one multi-minute flagship recompile (and tunnel stalls add outliers);
+    # the per-step list is printed so outliers are visible, the median is
+    # the steady-state step
+    print("fused per-step (s): "
+          + " ".join(f"{t:.2f}" for t in fused_times), flush=True)
+    ft = float(np.median(fused_times))
+    bt = float(np.median(batch_times))
     if run_unfused:
         gu = float(np.mean(times["grad"]) + np.mean(times["update"]))
         vs = f"[vs grad+update {gu*1e3:.1f} ms] "

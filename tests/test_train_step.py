@@ -186,6 +186,44 @@ def test_train_loop_runs_sharded(tmp_path, mesh8):
     assert os.path.exists(os.path.join(str(tmp_path), "shloop", "latest"))
 
 
+def test_bf16_param_storage_step(mesh8):
+    """Options.param_dtype="bfloat16" (the single-chip flagship memory
+    policy, scripts/analysis/train_step_bench.py): every floating leaf is
+    stored bf16, the production fused step runs finite, params STAY bf16
+    across the update (no silent f32 upcast re-inflating the tree), and
+    Adam's first moment is f32 (optim.py mu_dtype)."""
+    opt = Options(
+        model_size="tiny", precision="bf16", param_dtype="bfloat16",
+        use_lora=True, query_side_retriever_training=True,
+        gold_score_mode="jsa", n_context=2, mis_step=4, text_maxlength=64,
+        target_maxlength=8, per_gpu_batch_size=2, dropout=0.0,
+        total_steps=8)
+    store = PassageStore.synthetic(64, seed=0)
+    model, params, _ = load_or_initialize_model(opt, store)
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    index = ShardedFlatIndex(mesh8, len(store),
+                             model.retriever.cfg.bert.hidden,
+                             dtype=jnp.float32, method="exact")
+    model.build_index(index, params)
+    queries = [f"what is w{i} about" for i in range(2)]
+    targets = [f"w{i + 3}" for i in range(2)]
+    batch = model.build_batch("jsa", index, params, queries, targets)
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    losses, params_out, _ = _run_steps(opt, model, params, batch, mesh8,
+                                       n_steps=2)
+    assert all(np.isfinite(l) for l in losses), losses
+    for leaf in jax.tree_util.tree_leaves(params_out):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    tx, _ = set_optim(opt, params)
+    state = tx.init(params)
+    mus = [l for l in jax.tree_util.tree_leaves(state)
+           if hasattr(l, "dtype") and l.dtype == jnp.float32 and l.ndim > 0]
+    assert mus, "expected f32 first-moment leaves in Adam state"
+
+
 def test_accumulation_steps_with_production_step(mesh8):
     """optax.MultiSteps under the sharded production step (+ donation):
     params must not move until accumulation_steps micro-batches are in."""
